@@ -1,0 +1,23 @@
+"""mpsfm_tpu — a TPU-native Structure-from-Motion framework.
+
+A from-scratch reimagining of MP-SfM (CVPR 2025) for TPU hardware:
+incremental SfM with monocular depth/normal priors, where all heavy
+numerics (RANSAC, triangulation, bundle adjustment, bilateral normal
+integration, depth-consistency checks, feature matching) run as batched
+JAX/XLA device programs instead of the reference's pyceres/pycolmap C++
+core (see /root/reference, surveyed in SURVEY.md).
+
+Layout:
+  geometry/     SE(3)/quaternion math, camera models, projection, triangulation
+  estimators/   batched fixed-budget RANSAC (essential, absolute pose), two-view geometry
+  ba/           batched Levenberg-Marquardt bundle adjustment w/ Schur complement
+  scene/        flat reconstruction container, correspondence graph, priors
+  integration/  bilateral normal integration (dense stencil CG solver)
+  mapper/       incremental mapping controller (host logic driving device programs)
+  extraction/   feature/matching/prior extraction (Flax models + classical fallbacks)
+  parallel/     multi-device sharding of BA and matching (jax.sharding / shard_map)
+  datasets/     scene parsers (intrinsics.yaml + image dirs)
+  utils/        interpolation, IO (HDF5 caches, COLMAP format), misc
+"""
+
+__version__ = "0.1.0"

@@ -21,3 +21,11 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry/BA kernels contract small ill-conditioned matrices (AᵀA normal
+# equations); TPU's default bf16 matmul passes break them. Make full-f32
+# accumulation the package default — NN inference modules opt back into
+# bf16 explicitly via jax.default_matmul_precision where it matters.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -36,9 +36,11 @@ def triangulate_two_view(pose1: Rigid3d, pose2: Rigid3d, xy1_norm, xy2_norm):
         ],
         axis=-2,
     )  # (...,4,4)
-    # Smallest right singular vector of rows.
-    _, _, vt = jnp.linalg.svd(rows)
-    X = vt[..., -1, :]
+    # Smallest right singular vector of rows, via eigh of rowsᵀ rows
+    # (see geometry/linalg.py for the TPU compile-time rationale).
+    from mpsfm_tpu.geometry.linalg import nullspace_vector
+
+    X = nullspace_vector(rows)
     w = X[..., 3]
     w = jnp.where(jnp.abs(w) < 1e-12, 1e-12 * jnp.where(w < 0, -1.0, 1.0), w)
     return X[..., :3] / w[..., None]

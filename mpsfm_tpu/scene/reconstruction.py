@@ -1,0 +1,514 @@
+"""Flat-array reconstruction container (host state driving device programs).
+
+TPU-native replacement for COLMAP's Reconstruction + ObservationManager
+(the reference's L0 scene container — SURVEY.md §2.3 items (1) and (3)).
+COLMAP's pointer-heavy C++ graph becomes flat numpy arrays on the host:
+points live in a growable pool with validity masks, tracks are per-point
+observation lists, and every geometric filter is evaluated as one
+vectorized pass over a flat observation table instead of per-point C++
+loops. Device (JAX) programs consume padded snapshots of these arrays.
+
+Conventions:
+  - image poses are cam_from_world (quat wxyz, t), float64 on host;
+  - a keypoint's ``point3D_ids[kp] == -1`` means untriangulated;
+  - deleted points stay in the pool with ``alive=False`` (masked rewrite
+    semantics per SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+INVALID = -1
+
+
+def quat_rotate_np(q, v):
+    qv = q[..., 1:]
+    w = q[..., :1]
+    uv = np.cross(qv, v)
+    uuv = np.cross(qv, uv)
+    return v + 2.0 * (w * uv + uuv)
+
+
+def quat_conj_np(q):
+    return q * np.array([1.0, -1.0, -1.0, -1.0])
+
+
+def quat_to_matrix_np(q):
+    w, x, y, z = np.moveaxis(q, -1, 0)
+    xx, yy, zz = x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    R = np.stack(
+        [
+            np.stack([1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)], -1),
+            np.stack([2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)], -1),
+            np.stack([2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)], -1),
+        ],
+        axis=-2,
+    )
+    return R
+
+
+@dataclass
+class Pose:
+    """cam_from_world on host (numpy float64)."""
+
+    q: np.ndarray  # (4,) wxyz
+    t: np.ndarray  # (3,)
+
+    @staticmethod
+    def identity():
+        return Pose(np.array([1.0, 0, 0, 0]), np.zeros(3))
+
+    def transform(self, pts):
+        return quat_rotate_np(self.q, pts) + self.t
+
+    def inverse(self):
+        qi = quat_conj_np(self.q)
+        return Pose(qi, -quat_rotate_np(qi, self.t))
+
+    def rotation_matrix(self):
+        return quat_to_matrix_np(self.q)
+
+    def center(self):
+        return -quat_rotate_np(quat_conj_np(self.q), self.t)
+
+    def matrix(self):
+        return np.concatenate([self.rotation_matrix(), self.t[:, None]], axis=1)
+
+    def copy(self):
+        return Pose(self.q.copy(), self.t.copy())
+
+
+@dataclass
+class HostCamera:
+    """Host camera record; ``.device()`` yields the JAX Camera NamedTuple."""
+
+    camera_id: int
+    params: np.ndarray  # (fx, fy, cx, cy)
+    width: int
+    height: int
+    # Integration-grid geometry (prior working resolution, SURVEY.md:
+    # normscale 387, scene/reconstruction/base.py:27):
+    int_width: int = 0
+    int_height: int = 0
+
+    @property
+    def fx(self):
+        return float(self.params[0])
+
+    @property
+    def fy(self):
+        return float(self.params[1])
+
+    @property
+    def cx(self):
+        return float(self.params[2])
+
+    @property
+    def cy(self):
+        return float(self.params[3])
+
+    @property
+    def sx(self):
+        """Image->integration-grid x scale."""
+        return self.int_width / self.width if self.int_width else 1.0
+
+    @property
+    def sy(self):
+        return self.int_height / self.height if self.int_height else 1.0
+
+    def set_integration_grid(self, normscale: float):
+        long_side = max(self.width, self.height)
+        scale = normscale / long_side if long_side > normscale else 1.0
+        self.int_width = int(round(self.width * scale))
+        self.int_height = int(round(self.height * scale))
+
+    def calibration_matrix(self):
+        fx, fy, cx, cy = self.params[:4]
+        return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+
+    def cam_from_img(self, xy):
+        xy = np.asarray(xy, dtype=np.float64)
+        return (xy - np.array([self.cx, self.cy])) / np.array([self.fx, self.fy])
+
+    def img_from_cam(self, xyn):
+        return np.asarray(xyn) * np.array([self.fx, self.fy]) + np.array([self.cx, self.cy])
+
+    def device(self):
+        import jax.numpy as jnp
+
+        from mpsfm_tpu.geometry.projection import Camera
+
+        return Camera(
+            jnp.float32(self.params[0]),
+            jnp.float32(self.params[1]),
+            jnp.float32(self.params[2]),
+            jnp.float32(self.params[3]),
+            self.width,
+            self.height,
+        )
+
+    def mean_focal(self):
+        return 0.5 * (self.fx + self.fy)
+
+
+@dataclass
+class ImageRecord:
+    """Per-image registration + keypoint state (priors attach separately)."""
+
+    imid: int
+    name: str
+    camera_id: int
+    keypoints: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.float64))
+    point3D_ids: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.int64))
+    pose: Pose | None = None
+    registered: bool = False
+    kp_std: float = 1.0
+    # MP-SfM failure-ladder state (reference: scene/image/base.py:71-77):
+    ignore_matches_AP: dict = field(default_factory=dict)
+    dc_times_inliers_resampled: int = 0
+    last_dc_score: float | None = None
+    failed_dc_check: bool = False
+    failed_normal_registration: bool = False
+
+    def num_points3D(self):
+        return int((self.point3D_ids >= 0).sum())
+
+    def observed_kp_ids(self):
+        return np.where(self.point3D_ids >= 0)[0]
+
+    @property
+    def has_pose(self):
+        return self.registered
+
+
+class Reconstruction:
+    """The scene: cameras, images, point pool, tracks, and filter passes."""
+
+    def __init__(self):
+        self.cameras: dict[int, HostCamera] = {}
+        self.images: dict[int, ImageRecord] = {}
+        self._name_to_imid: dict[str, int] = {}
+        # Point pool (grow-only, masked deletes).
+        cap = 1024
+        self.xyz = np.zeros((cap, 3), np.float64)
+        self.alive = np.zeros((cap,), bool)
+        self.track_len = np.zeros((cap,), np.int32)
+        self.tracks: list[list[tuple[int, int]] | None] = [None] * cap
+        self._num_points = 0
+        self._free: list[int] = []
+        # MP-SfM extras
+        self.point_covs: dict[int, np.ndarray] = {}
+        self.best_next_ref_imid: int | None = None
+        self.last_ap_inlier_masks: dict = {}
+
+    # --- images/cameras ---
+    def add_camera(self, cam: HostCamera):
+        self.cameras[cam.camera_id] = cam
+
+    def add_image(self, im: ImageRecord):
+        self.images[im.imid] = im
+        self._name_to_imid[im.name] = im.imid
+
+    def imid(self, name: str) -> int:
+        return self._name_to_imid[name]
+
+    def camera(self, imid: int) -> HostCamera:
+        return self.cameras[self.images[imid].camera_id]
+
+    def register_image(self, imid: int):
+        self.images[imid].registered = True
+
+    def deregister_image(self, imid: int):
+        """Remove all observations of an image, then unregister it."""
+        im = self.images[imid]
+        for kp in np.where(im.point3D_ids >= 0)[0]:
+            self.remove_observation(int(im.point3D_ids[kp]), imid, int(kp))
+        im.registered = False
+        im.pose = None
+
+    @property
+    def registered_images(self):
+        return {i: im for i, im in self.images.items() if im.registered}
+
+    def reg_image_ids(self):
+        return [i for i, im in self.images.items() if im.registered]
+
+    def num_reg_images(self):
+        return len(self.reg_image_ids())
+
+    def num_images(self):
+        return len(self.images)
+
+    # --- point pool ---
+    def _grow(self):
+        cap = len(self.alive)
+        new_cap = cap * 2
+        self.xyz = np.concatenate([self.xyz, np.zeros((cap, 3))])
+        self.alive = np.concatenate([self.alive, np.zeros(cap, bool)])
+        self.track_len = np.concatenate([self.track_len, np.zeros(cap, np.int32)])
+        self.tracks.extend([None] * cap)
+
+    def add_point3D(self, xyz, track: list[tuple[int, int]]) -> int:
+        """track: list of (imid, kp_idx). Observations already holding a
+        point are skipped (parity with ObservationManager.add_point3D)."""
+        if self._free:
+            pid = self._free.pop()
+        else:
+            pid = self._num_points
+            if pid >= len(self.alive):
+                self._grow()
+            self._num_points += 1
+        self.xyz[pid] = xyz
+        self.alive[pid] = True
+        self.tracks[pid] = []
+        self.track_len[pid] = 0
+        for imid, kp in track:
+            if self.images[imid].point3D_ids[kp] >= 0:
+                continue
+            self.tracks[pid].append((imid, kp))
+            self.images[imid].point3D_ids[kp] = pid
+        self.track_len[pid] = len(self.tracks[pid])
+        if self.track_len[pid] == 0:
+            self._delete_slot(pid)
+            return INVALID
+        return pid
+
+    def add_observation(self, pid: int, imid: int, kp: int):
+        if self.images[imid].point3D_ids[kp] >= 0:
+            return
+        self.tracks[pid].append((imid, kp))
+        self.track_len[pid] += 1
+        self.images[imid].point3D_ids[kp] = pid
+
+    def remove_observation(self, pid: int, imid: int, kp: int):
+        tr = self.tracks[pid]
+        tr.remove((imid, kp))
+        self.track_len[pid] -= 1
+        self.images[imid].point3D_ids[kp] = INVALID
+        if self.track_len[pid] < 2:
+            self.delete_point3D(pid)
+
+    def delete_point3D(self, pid: int):
+        for imid, kp in self.tracks[pid]:
+            self.images[imid].point3D_ids[kp] = INVALID
+        self._delete_slot(pid)
+
+    def _delete_slot(self, pid: int):
+        self.alive[pid] = False
+        self.tracks[pid] = None
+        self.track_len[pid] = 0
+        self.point_covs.pop(pid, None)
+        self._free.append(pid)
+
+    def point_ids(self):
+        return np.where(self.alive[: self._num_points])[0]
+
+    def num_points3D(self):
+        return int(self.alive.sum())
+
+    def point_xyz(self, pids):
+        return self.xyz[np.asarray(pids, dtype=np.int64)]
+
+    # --- flat observation table ---
+    def observations(self, pids=None):
+        """Flat (obs_pid, obs_imid, obs_kp) arrays for given (or all) points."""
+        if pids is None:
+            pids = self.point_ids()
+        o_pid, o_im, o_kp = [], [], []
+        for pid in pids:
+            tr = self.tracks[pid]
+            if tr is None:
+                continue
+            for imid, kp in tr:
+                o_pid.append(pid)
+                o_im.append(imid)
+                o_kp.append(kp)
+        return (
+            np.asarray(o_pid, np.int64),
+            np.asarray(o_im, np.int64),
+            np.asarray(o_kp, np.int64),
+        )
+
+    # --- geometry helpers (vectorized host math) ---
+    def project_points_into_image(self, imid: int, pids):
+        """Returns (px (N,2), depth (N,))."""
+        im = self.images[imid]
+        cam = self.camera(imid)
+        pts = self.xyz[np.asarray(pids, np.int64)]
+        p_cam = im.pose.transform(pts)
+        z = p_cam[:, 2]
+        zs = np.where(np.abs(z) < 1e-12, 1e-12, z)
+        px = cam.img_from_cam(p_cam[:, :2] / zs[:, None])
+        return px, z
+
+    def project_image_3d_points(self, imid: int, pids=None):
+        """Reference-parity helper (mixins/points3D_utils.py:9-29):
+        returns (pts2dids, pids, kps_px, depth, success)."""
+        im = self.images[imid]
+        if pids is None:
+            kp_ids = im.observed_kp_ids()
+            if len(kp_ids) == 0:
+                return None, None, None, None, False
+            pids = im.point3D_ids[kp_ids]
+        else:
+            kp_ids = None
+            pids = np.asarray(pids, np.int64)
+        px, z = self.project_points_into_image(imid, pids)
+        return kp_ids, pids, px, z, True
+
+    def triangulation_angles(self, pids):
+        """Max pairwise triangulation angle per point (degrees), vectorized
+        per point over its track. Replaces the COLMAP fork's
+        find_small_angle_points_mask (SURVEY.md §2.3 item (3))."""
+        pids = np.asarray(pids, np.int64)
+        out = np.zeros(len(pids))
+        centers = {imid: im.pose.center() for imid, im in self.images.items() if im.registered}
+        for i, pid in enumerate(pids):
+            tr = self.tracks[pid]
+            if tr is None or len(tr) < 2:
+                out[i] = 0.0
+                continue
+            C = np.stack([centers[imid] for imid, _ in tr if imid in centers])
+            if len(C) < 2:
+                out[i] = 0.0
+                continue
+            X = self.xyz[pid]
+            r = X[None] - C
+            rn = r / np.maximum(np.linalg.norm(r, axis=-1, keepdims=True), 1e-12)
+            cosang = np.clip(rn @ rn.T, -1, 1)
+            ang = np.arccos(cosang)
+            ang = np.minimum(ang, np.pi - ang)
+            iu = np.triu_indices(len(C), 1)
+            out[i] = np.rad2deg(ang[iu].max()) if len(iu[0]) else 0.0
+        return out
+
+    def find_points3D_with_small_triangulation_angle(self, min_angle, point3D_ids):
+        if len(point3D_ids) == 0:
+            return np.zeros(0, bool)
+        return self.triangulation_angles(point3D_ids) < min_angle
+
+    # --- filters (reference: mapper/base.py:686-797 via ObservationManager) ---
+    def filter_observations_with_negative_depth(self):
+        n = 0
+        for imid, im in self.registered_images.items():
+            kp_ids = im.observed_kp_ids()
+            if len(kp_ids) == 0:
+                continue
+            pids = im.point3D_ids[kp_ids]
+            _, z = self.project_points_into_image(imid, pids)
+            bad = z < np.finfo(np.float64).eps
+            for kp, pid in zip(kp_ids[bad], pids[bad]):
+                self.remove_observation(int(pid), imid, int(kp))
+                n += 1
+        return n
+
+    def _point_reproj_errors(self, pids):
+        """Per-observation squared reprojection errors for given points.
+
+        Returns (obs arrays, err_sq (n_obs,)). kp_std-normalized errors are
+        applied by the caller via its threshold.
+        """
+        o_pid, o_im, o_kp = self.observations(pids)
+        if len(o_pid) == 0:
+            return (o_pid, o_im, o_kp), np.zeros(0)
+        err = np.zeros(len(o_pid))
+        for imid in np.unique(o_im):
+            sel = o_im == imid
+            im = self.images[imid]
+            px, z = self.project_points_into_image(imid, o_pid[sel])
+            kps = im.keypoints[o_kp[sel]]
+            e = ((px - kps) ** 2).sum(-1)
+            e = np.where(z > 0, e, np.inf)
+            err[sel] = e
+        return (o_pid, o_im, o_kp), err
+
+    def filter_points3D(self, max_reproj_error, min_tri_angle, pids):
+        """Delete bad observations / low-angle points. Returns #changed obs."""
+        pids = np.asarray(sorted(set(int(p) for p in pids if self.alive[p])), np.int64)
+        if len(pids) == 0:
+            return 0
+        changed = 0
+        (o_pid, o_im, o_kp), err = self._point_reproj_errors(pids)
+        bad = err > max_reproj_error**2
+        for pid, imid, kp in zip(o_pid[bad], o_im[bad], o_kp[bad]):
+            if self.alive[pid] and self.images[imid].point3D_ids[kp] == pid:
+                self.remove_observation(int(pid), int(imid), int(kp))
+                changed += 1
+        still = [p for p in pids if self.alive[p]]
+        if still:
+            small = self.find_points3D_with_small_triangulation_angle(min_tri_angle, still)
+            for pid, s in zip(still, small):
+                if s:
+                    changed += self.track_len[pid]
+                    self.delete_point3D(int(pid))
+        return changed
+
+    def filter_all_points3D(self, max_reproj_error, min_tri_angle):
+        return self.filter_points3D(max_reproj_error, min_tri_angle, self.point_ids())
+
+    def filter_images(self):
+        """Deregister images with no 3D points. Returns set of filtered ids."""
+        before = set(self.reg_image_ids())
+        for imid in list(before):
+            if self.images[imid].num_points3D() == 0:
+                self.deregister_image(imid)
+        return before - set(self.reg_image_ids())
+
+    # --- covisibility / local bundles ---
+    def shared_point_counts(self, refimid: int):
+        """#3D points shared with each other registered image."""
+        ref = self.images[refimid]
+        ref_pids = set(ref.point3D_ids[ref.point3D_ids >= 0].tolist())
+        counts = {}
+        for imid, im in self.registered_images.items():
+            if imid == refimid:
+                continue
+            pids = im.point3D_ids[im.point3D_ids >= 0]
+            counts[imid] = sum(1 for p in pids.tolist() if p in ref_pids)
+        return counts
+
+    def find_local_bundle_ids(self, refimid: int, num_images: int | None = None):
+        """Most-covisible images around refimid (COLMAP find_local_bundle
+        analog, reference scene/reconstruction/base.py:147-156)."""
+        counts = self.shared_point_counts(refimid)
+        ranked = sorted(counts, key=lambda i: -counts[i])
+        ranked = [i for i in ranked if counts[i] > 0]
+        if num_images is None:
+            num_images = 5
+        return ranked[:num_images]
+
+    def num_visible_points3D(self, imid: int):
+        """#keypoints of imid whose correspondences see a triangulated point
+        (approximated by current observation count for ranking)."""
+        return self.images[imid].num_points3D()
+
+    # --- normalization (reference scene/reconstruction/base.py:105-121) ---
+    def normalize(self, fixed_scale=False, extent=5.0, p0=0.2, p1=0.8):
+        """Center/scale the reconstruction using the percentile camera-center
+        bounding box; rescales all depth state via the returned scale."""
+        reg = self.reg_image_ids()
+        if len(reg) < 2:
+            return 1.0
+        centers = np.stack([self.images[i].pose.center() for i in reg])
+        sort = np.sort(centers, axis=0)
+        n = len(reg)
+        i0, i1 = int(p0 * n), max(int(np.ceil(p1 * n)) - 1, int(p0 * n))
+        bbox_min, bbox_max = sort[i0], sort[i1]
+        mean = 0.5 * (bbox_min + bbox_max)
+        old_extent = np.linalg.norm(bbox_max - bbox_min)
+        scale = 1.0 if (fixed_scale or old_extent < 1e-6) else extent / old_extent
+        # world' = scale * (world - mean)
+        for imid in reg:
+            pose = self.images[imid].pose
+            # With x' = scale (x - mean), requiring x_cam' = scale * x_cam
+            # (pixels invariant, depths scaled): t' = scale * (t + R @ mean).
+            t_new = scale * (pose.rotation_matrix() @ mean + pose.t)
+            pose.t = t_new
+        alive = self.point_ids()
+        self.xyz[alive] = scale * (self.xyz[alive] - mean)
+        return scale

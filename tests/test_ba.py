@@ -1,0 +1,235 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpsfm_tpu.ba import losses
+from mpsfm_tpu.ba.covariance import calculate_point_covs, point_covariances
+from mpsfm_tpu.ba.problem import apply_ba_result, build_ba_data
+from mpsfm_tpu.ba.shift_scale import (
+    fit_robust_gaussian_mad,
+    optimize_prior_shiftscale,
+    update_truncation_multiplier,
+)
+from mpsfm_tpu.ba.solver import solve_ba
+from mpsfm_tpu.scene.reconstruction import HostCamera, ImageRecord, Pose, Reconstruction
+
+
+def make_synthetic_rec(rng, n_cams=6, n_pts=200, noise_px=1.0, pose_noise=0.02):
+    """Ground-truth scene + noisy initialization. Returns (rec, gt)."""
+    rec = Reconstruction()
+    cam = HostCamera(1, np.array([500.0, 500.0, 320.0, 240.0]), 640, 480)
+    rec.add_camera(cam)
+    pts = np.stack(
+        [rng.uniform(-2, 2, n_pts), rng.uniform(-1.5, 1.5, n_pts), rng.uniform(4, 9, n_pts)], -1
+    )
+    gt_poses = []
+    for i in range(n_cams):
+        # cameras along x with small rotations
+        q = np.array([1.0, 0, 0.02 * i, 0])
+        q /= np.linalg.norm(q)
+        t = np.array([-0.4 * i, 0.02 * i, 0.1 * i])
+        gt_poses.append(Pose(q, t))
+        im = ImageRecord(i, f"im{i}.jpg", 1)
+        p_cam = gt_poses[i].transform(pts)
+        px = cam.img_from_cam(p_cam[:, :2] / p_cam[:, 2:3])
+        im.keypoints = px + rng.normal(scale=noise_px, size=px.shape)
+        im.point3D_ids = np.full(n_pts, -1, np.int64)
+        # noisy init pose (keep first two at GT for gauge)
+        if i < 2:
+            im.pose = Pose(q.copy(), t.copy())
+        else:
+            dq = np.concatenate([[1.0], rng.normal(scale=pose_noise, size=3)])
+            dq /= np.linalg.norm(dq)
+            from mpsfm_tpu.scene.reconstruction import quat_rotate_np
+
+            im.pose = Pose(
+                np.array(
+                    [
+                        dq[0] * q[0] - dq[1:] @ q[1:],
+                        *(dq[0] * q[1:] + q[0] * dq[1:] + np.cross(dq[1:], q[1:])),
+                    ]
+                ),
+                t + rng.normal(scale=pose_noise * 5, size=3),
+            )
+        im.registered = True
+        rec.add_image(im)
+    for k in range(n_pts):
+        track = [(i, k) for i in range(n_cams)]
+        rec.add_point3D(pts[k] + rng.normal(scale=0.05, size=3), track)
+    gt = {"pts": pts, "poses": gt_poses}
+    return rec, gt
+
+
+def pose_errors(rec, gt):
+    rot, trans = [], []
+    for i, pose_gt in enumerate(gt["poses"]):
+        p = rec.images[i].pose
+        dq = abs(np.dot(p.q, pose_gt.q))
+        rot.append(np.rad2deg(2 * np.arccos(np.clip(dq, -1, 1))))
+        trans.append(np.linalg.norm(p.t - pose_gt.t))
+    return np.array(rot), np.array(trans)
+
+
+def test_ba_converges_to_gt(rng):
+    rec, gt = make_synthetic_rec(rng, noise_px=0.5)
+    bundle = {"optim_ids": set(range(6)), "pts3D": set(rec.point_ids().tolist()), "constpoints": set()}
+    prob = build_ba_data(rec, bundle, mode="global", use_depth=False)
+    quat, t, xyz, info = solve_ba(prob.data, max_iters=25)
+    assert float(info["cost"]) < float(info["cost0"]) * 0.2
+    apply_ba_result(rec, prob, quat, t, xyz)
+    rot, trans = pose_errors(rec, gt)
+    assert rot.max() < 0.2, rot
+    assert trans.max() < 0.05, trans
+    # mean point error small
+    err = np.linalg.norm(rec.xyz[rec.point_ids()] - gt["pts"], axis=1)
+    assert np.median(err) < 0.1
+
+
+def test_ba_gauge_fixed(rng):
+    rec, gt = make_synthetic_rec(rng)
+    bundle = {"optim_ids": set(range(6)), "pts3D": set(rec.point_ids().tolist()), "constpoints": set()}
+    prob = build_ba_data(rec, bundle, mode="global", use_depth=False)
+    q0, t0 = np.array(rec.images[0].pose.q), np.array(rec.images[0].pose.t)
+    tx1 = rec.images[1].pose.t[0]
+    quat, t, xyz, info = solve_ba(prob.data, max_iters=10)
+    apply_ba_result(rec, prob, quat, t, xyz)
+    np.testing.assert_allclose(rec.images[0].pose.q, q0, atol=1e-6)
+    np.testing.assert_allclose(rec.images[0].pose.t, t0, atol=1e-6)
+    np.testing.assert_allclose(rec.images[1].pose.t[0], tx1, atol=1e-5)
+
+
+def test_ba_fix_pose_refines_points_only(rng):
+    rec, gt = make_synthetic_rec(rng, pose_noise=0.0, noise_px=0.5)
+    bundle = {"optim_ids": set(range(6)), "pts3D": set(rec.point_ids().tolist()), "constpoints": set()}
+    poses_before = {i: (rec.images[i].pose.q.copy(), rec.images[i].pose.t.copy()) for i in range(6)}
+    prob = build_ba_data(rec, bundle, mode="global", fix_pose=True, use_depth=False)
+    quat, t, xyz, info = solve_ba(prob.data, max_iters=15)
+    apply_ba_result(rec, prob, quat, t, xyz)
+    for i in range(6):
+        np.testing.assert_allclose(rec.images[i].pose.q, poses_before[i][0], atol=1e-6)
+    err = np.linalg.norm(rec.xyz[rec.point_ids()] - gt["pts"], axis=1)
+    assert np.median(err) < 0.1
+
+
+def test_ba_robust_loss_rejects_outliers(rng):
+    rec, gt = make_synthetic_rec(rng, noise_px=0.5, pose_noise=0.01)
+    # corrupt 10% of observations of image 3 badly
+    im = rec.images[3]
+    im.keypoints[:20] += 80.0
+    bundle = {"optim_ids": set(range(6)), "pts3D": set(rec.point_ids().tolist()), "constpoints": set()}
+    prob = build_ba_data(rec, bundle, mode="global", use_depth=False)
+    quat, t, xyz, _ = solve_ba(prob.data, max_iters=25)
+    apply_ba_result(rec, prob, quat, t, xyz)
+    rot, trans = pose_errors(rec, gt)
+    assert rot.max() < 0.5
+    assert trans.max() < 0.05
+
+
+class FakeDepth:
+    """Minimal depth stub exposing the BA-facing interface."""
+
+    def __init__(self, rec, imid, scale_err=1.0, sigma=0.05):
+        self.rec = rec
+        self.imid = imid
+        self.activated = True
+        self.scale = 1.0
+        im = rec.images[imid]
+        kp_ids = im.observed_kp_ids()
+        pids = im.point3D_ids[kp_ids]
+        _, z = rec.project_points_into_image(imid, pids)
+        self._depth = {int(k): float(zz) * scale_err for k, zz in zip(kp_ids, z)}
+        self.uncertainty_update = {int(k): sigma**2 for k in kp_ids}
+        self.data = "nonnull"
+
+    def valid_at_kps(self, kps):
+        return np.ones(len(kps), bool)
+
+    def data_at_kps(self, kps):
+        # keyed by order of observed kps
+        im = self.rec.images[self.imid]
+        kp_ids = im.observed_kp_ids()
+        return np.array([self._depth[int(k)] for k in kp_ids[: len(kps)]])
+
+    def data_prior_at_kps(self, kps):
+        return self.data_at_kps(kps)
+
+
+def test_ba_with_depth_priors_fixes_scale_drift(rng):
+    """Depth residuals should pull a scale-drifted init toward metric scale."""
+    rec, gt = make_synthetic_rec(rng, noise_px=0.3, pose_noise=0.0)
+    # attach GT-consistent depth priors
+    for i in range(6):
+        rec.images[i].depth = FakeDepth(rec, i)
+    # drift: scale all points and translations by 1.1 except gauge-fixed dims
+    for pid in rec.point_ids():
+        rec.xyz[pid] *= 1.1
+    for i in range(6):
+        rec.images[i].pose.t = rec.images[i].pose.t * 1.1
+    bundle = {"optim_ids": set(range(6)), "pts3D": set(rec.point_ids().tolist()), "constpoints": set()}
+    # free gauge scale: fix_pose=False still freezes pose1 tx -> scale is
+    # gauge-fixed. Depth terms act on absolute depths, so keep standard gauge
+    # but verify cost including depth decreases drastically.
+    prob = build_ba_data(rec, bundle, mode="global", use_depth=True)
+    assert int(prob.data.d_valid.sum()) > 0
+    quat, t, xyz, info = solve_ba(prob.data, max_iters=30)
+    assert float(info["cost"]) < 0.1 * float(info["cost0"])
+
+
+def test_point_covariance_sanity(rng):
+    rec, gt = make_synthetic_rec(rng, n_cams=4, n_pts=50, noise_px=1.0, pose_noise=0.0)
+    bundle = {"optim_ids": set(range(4)), "pts3D": set(rec.point_ids().tolist()), "constpoints": set()}
+    prob = build_ba_data(rec, bundle, mode="global", use_depth=False)
+    cov = calculate_point_covs(rec, prob)
+    assert len(rec.point_covs) == 50
+    c = cov[:50]
+    # symmetric positive diagonal
+    np.testing.assert_allclose(c, np.swapaxes(c, 1, 2), atol=1e-5)
+    assert (np.einsum("pii->pi", c) > 0).all()
+    # deeper points have larger depth variance than closer ones on average
+    zs = gt["pts"][:, 2]
+    zvar = c[:, 2, 2]
+    assert np.corrcoef(zs, zvar)[0, 1] > 0.2
+
+
+def test_shift_scale_estimator(rng):
+    rec, gt = make_synthetic_rec(rng, n_cams=3, n_pts=80, noise_px=0.0, pose_noise=0.0)
+    # depth priors that are 2x too small -> estimator should find scale ~2
+    for i in range(3):
+        fd = FakeDepth(rec, i, scale_err=0.5)
+        fd.activated = False
+        rec.images[i].depth = fd
+    bundle = {"optim_ids": {0, 1, 2}, "pts3D": set(rec.point_ids().tolist())}
+    ss, ok = optimize_prior_shiftscale(rec, bundle)
+    assert ok
+    for imid, (shift, scale) in ss.items():
+        assert abs(scale - 2.0) < 0.05
+        assert shift == 0.0
+
+
+def test_truncation_multiplier(rng):
+    rec, gt = make_synthetic_rec(rng, n_cams=3, n_pts=100, noise_px=0.0, pose_noise=0.0)
+    for i in range(3):
+        rec.images[i].depth = FakeDepth(rec, i, sigma=0.1)
+    # perfect depths -> whitened residuals ~0 -> sigma ~0
+    m = update_truncation_multiplier(rec, [0, 1, 2])
+    assert m < 0.1
+    mu, sigma = fit_robust_gaussian_mad(np.array([0.0, 1, 2, 3, 4, 100.0]))
+    assert abs(mu - 2.5) < 1e-9
+    assert sigma < 5
+
+
+def test_losses_match_ceres_forms():
+    s = jnp.array([0.0, 1.0, 4.0, 100.0])
+    a = 1.5
+    np.testing.assert_allclose(losses.rho(losses.TRIVIAL, s, a), s)
+    np.testing.assert_allclose(
+        losses.rho(losses.SOFT_L1, s, a), 2 * a**2 * (np.sqrt(1 + s / a**2) - 1), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        losses.rho(losses.CAUCHY, s, a), a**2 * np.log1p(s / a**2), rtol=1e-6
+    )
+    # derivative check
+    eps = 1e-3
+    for lid in (losses.SOFT_L1, losses.CAUCHY):
+        num = (losses.rho(lid, s + eps, a) - losses.rho(lid, s - eps, a)) / (2 * eps)
+        np.testing.assert_allclose(losses.rho_prime(lid, s, a), num, rtol=1e-2, atol=1e-3)

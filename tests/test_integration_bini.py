@@ -1,0 +1,123 @@
+import jax.numpy as jnp
+import numpy as np
+
+from mpsfm_tpu.integration.bini import (
+    BiniParams,
+    BiniInputs,
+    bini_solve,
+    build_integration_inputs,
+    diag_inverse_at,
+    Integrator,
+)
+
+
+FX = FY = 300.0
+H, W = 96, 128
+CX, CY = W / 2, H / 2
+
+
+def plane_scene(rng, n_normal=(0.3, -0.2), d0=5.0, noise=0.0):
+    """Slanted plane n·p = const seen by a pinhole camera: depth + normals."""
+    a, b = n_normal
+    n = np.array([a, b, -1.0])
+    n = n / np.linalg.norm(n)
+    # plane passing through (0,0,d0): n·p = n_z*d0
+    xx, yy = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    u = (xx - CX) / FX
+    v = (yy - CY) / FY
+    # p = z*(u,v,1); n·p = z*(n_x u + n_y v + n_z) = n_z*d0
+    denom = n[0] * u + n[1] * v + n[2]
+    depth = n[2] * d0 / denom
+    normals = np.broadcast_to(n, (H, W, 3)).copy()
+    if noise:
+        depth = depth * np.exp(rng.normal(scale=noise, size=depth.shape))
+    return depth, normals
+
+
+def make_inputs(depth_prior, normals, depth_gt=None, sparse=None, unc=0.05):
+    covs = np.zeros((H, W, 3, 3))
+    for k in range(3):
+        covs[..., k, k] = (np.pi / 180 * 2) ** 2  # ~2deg normal noise floor
+    kw = {}
+    if sparse is not None:
+        kw = dict(sparse_px=sparse[0], sparse_depth=sparse[1], sparse_zvar=sparse[2])
+    return build_integration_inputs(
+        depth_prior,
+        (depth_prior * unc) ** 2,
+        np.ones((H, W), bool),
+        normals,
+        covs,
+        FX,
+        FY,
+        CX,
+        CY,
+        **kw,
+    )
+
+
+def test_integration_improves_noisy_depth(rng):
+    depth_gt, normals = plane_scene(rng)
+    depth_noisy, _ = plane_scene(rng, noise=0.03)
+    inp = make_inputs(depth_noisy, normals)
+    params = BiniParams(max_iter=5, cg_max_iter=300)
+    z, info = bini_solve(inp, params)
+    assert not bool(info["aborted"])
+    refined = np.exp(np.asarray(z, np.float64))
+    err_prior = np.abs(np.log(depth_noisy) - np.log(depth_gt)).mean()
+    err_ref = np.abs(np.log(refined) - np.log(depth_gt)).mean()
+    # normals are exact -> integration should substantially denoise
+    assert err_ref < 0.5 * err_prior, (err_prior, err_ref)
+
+
+def test_integration_sparse_anchors_pin_scale(rng):
+    depth_gt, normals = plane_scene(rng)
+    # prior off by 10% scale
+    depth_prior = depth_gt * 1.1
+    k = 200
+    xs = rng.integers(5, W - 5, k)
+    ys = rng.integers(5, H - 5, k)
+    sparse_px = np.stack([xs, ys], -1).astype(np.float64)
+    sparse_d = depth_gt[ys, xs]
+    sparse_var = np.full(k, 1e-4)
+    inp = make_inputs(depth_prior, normals, sparse=(sparse_px, sparse_d, sparse_var), unc=0.5)
+    params = BiniParams(max_iter=8, cg_max_iter=500)
+    z, info = bini_solve(inp, params)
+    refined = np.exp(np.asarray(z, np.float64))
+    scale_err = np.abs(np.median(refined / depth_gt) - 1.0)
+    assert scale_err < 0.03, scale_err  # pulled from 10% to <3%
+
+
+def test_integration_energy_decreases(rng):
+    depth_gt, normals = plane_scene(rng)
+    depth_noisy, _ = plane_scene(rng, noise=0.05)
+    inp = make_inputs(depth_noisy, normals)
+    params = BiniParams(max_iter=6, cg_max_iter=300)
+    z, info = bini_solve(inp, params)
+    assert float(info["energy"]) < float(info["energy0"])
+
+
+def test_integrator_skip_logic(rng):
+    depth_gt, normals = plane_scene(rng)
+    depth_noisy, _ = plane_scene(rng, noise=0.03)
+    inp = make_inputs(depth_noisy, normals)
+    integ = Integrator(BiniParams(max_iter=4, cg_max_iter=200))
+    d1, changed1 = integ.integrate(inp)
+    assert changed1 and d1 is not None and d1.shape == (H, W)
+
+
+def test_diag_inverse_at(rng):
+    depth_gt, normals = plane_scene(rng)
+    # sparse anchor in the left half only
+    xs = rng.integers(5, W // 2, 100)
+    ys = rng.integers(5, H - 5, 100)
+    sparse_px = np.stack([xs, ys], -1).astype(np.float64)
+    inp = make_inputs(
+        depth_gt, normals, sparse=(sparse_px, depth_gt[ys, xs], np.full(100, 1e-6)), unc=2.0
+    )
+    params = BiniParams(cg_max_iter=300)
+    z, _ = bini_solve(inp, params)
+    rows = jnp.asarray([H // 2, H // 2], jnp.int32)
+    cols = jnp.asarray([W // 4, W - 8], jnp.int32)  # near anchors vs far
+    var = np.asarray(diag_inverse_at(inp, params, z, rows, cols, chunk=2))
+    assert (var > 0).all()
+    assert var[0] < var[1]  # anchored side more certain

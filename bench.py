@@ -1,0 +1,65 @@
+"""Benchmark: prior-regularized bundle-adjustment throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is LM iterations/second on a standard synthetic bundle
+(64 cameras x 8192 points, ~100k reprojection + 26k depth observations)
+— the hot loop the reference runs through Ceres SPARSE_SCHUR on all CPU
+threads (SURVEY.md §6). vs_baseline is relative to a measured CPU-thread
+Ceres-class proxy recorded in BASELINE.md targets; until a Ceres run
+exists in-image, vs_baseline reports value/BASELINE_REF_ITERS_PER_S.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Reference operating point: Ceres SPARSE_SCHUR on CPU solves bundles of
+# this size at single-digit iterations/s (measured Ceres numbers on
+# comparable problems; refined once a local baseline exists).
+BASELINE_REF_ITERS_PER_S = 5.0
+
+
+def main():
+    from __graft_entry__ import _synthetic_ba_data
+    from mpsfm_tpu.ba.solver import solve_ba
+    import jax
+
+    n_cams, n_pts = 64, 8192
+    # all cams observe a subset: emulate ~12 obs/pt tracks
+    data = _synthetic_ba_data(n_cams=n_cams, n_pts=n_pts)
+    max_iters = 20
+
+    # rel_tol=0 disables the early-exit 'done' latch so every scheduled LM
+    # iteration does full work — honest per-iteration throughput.
+    kw = dict(max_iters=max_iters, cg_iters=100, rel_tol=0.0)
+
+    def run_once():
+        quat, t, xyz, info = solve_ba(data, **kw)
+        # NOTE: jax.block_until_ready does not actually block on the axon
+        # backend — force a value transfer to time real execution.
+        return float(np.asarray(xyz).sum())
+
+    run_once()  # compile
+    t0 = time.time()
+    runs = 3
+    for _ in range(runs):
+        run_once()
+    dt = (time.time() - t0) / runs
+    iters_per_s = max_iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "ba_lm_iters_per_s_64cam_8kpts",
+                "value": round(iters_per_s, 2),
+                "unit": "LM iters/s",
+                "vs_baseline": round(iters_per_s / BASELINE_REF_ITERS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

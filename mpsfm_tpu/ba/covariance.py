@@ -33,12 +33,14 @@ def point_covariances(data: BAData):
     dtype = data.xyz.dtype
 
     asm = _assemble(data, data.quat, data.t, data.xyz, losses.TRIVIAL, losses.TRIVIAL)
-    J_r, w_r = asm["J_r"], asm["w_r"]
-    Jc, Jp = J_r[:, :, :6], J_r[:, :, 6:]
+    J_r, w_r = asm["J_r"], asm["w_r"]  # J_r (2,9,No) observation-major
+    Jc, Jp = J_r[:, :6], J_r[:, 6:]
 
-    Hcc_blocks = _segment_sum(jnp.einsum("nri,nrj,n->nij", Jc, Jc, w_r), data.r_cam, C)
-    Hpp = _segment_sum(jnp.einsum("nri,nrj,n->nij", Jp, Jp, w_r), data.r_pt, P)
-    W = jnp.einsum("nri,nrj,n->nij", Jc, Jp, w_r)  # (No,6,3)
+    Hcc_blocks = _segment_sum(
+        jnp.einsum("rin,rjn->nij", Jc * w_r, Jc), data.r_cam, C
+    )
+    Hpp = _segment_sum(jnp.einsum("rin,rjn->nij", Jp * w_r, Jp), data.r_pt, P)
+    W = jnp.einsum("rin,rjn->nij", Jc * w_r, Jp)  # (No,6,3)
 
     frozen = 1.0 - data.cam_dof
     eye6 = jnp.eye(6, dtype=dtype)

@@ -18,7 +18,7 @@ LOSS_IDS = {"trivial": TRIVIAL, "softl1": SOFT_L1, "soft_l1": SOFT_L1, "SOFT_L1"
 
 def rho(loss_id: int, s, a):
     """Robust cost of squared residual s with scale a. loss_id is static."""
-    a2 = a * a
+    a2 = jnp.maximum(a * a, 1e-12)
     if loss_id == TRIVIAL:
         return s
     if loss_id == SOFT_L1:
@@ -30,7 +30,7 @@ def rho(loss_id: int, s, a):
 
 def rho_prime(loss_id: int, s, a):
     """d rho / d s — the IRLS weight."""
-    a2 = a * a
+    a2 = jnp.maximum(a * a, 1e-12)
     if loss_id == TRIVIAL:
         return jnp.ones_like(s)
     if loss_id == SOFT_L1:

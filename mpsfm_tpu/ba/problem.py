@@ -17,7 +17,7 @@ from dataclasses import dataclass
 import numpy as np
 import jax.numpy as jnp
 
-from mpsfm_tpu.ba.solver import BAData
+from mpsfm_tpu.ba.solver import BAData, make_slot_tables
 from mpsfm_tpu.scene.reconstruction import Reconstruction
 
 
@@ -101,25 +101,20 @@ def build_ba_data(
     cy = np.array([rec.camera(i).cy for i in cam_ids], dtype)
     xyz = rec.xyz[all_pts].astype(dtype) if all_pts else np.zeros((0, 3), dtype)
 
-    # --- reprojection observations ---
+    # --- reprojection observations (camera-major padded layout) ---
     kp_std = float(np.median([rec.images[i].kp_std for i in optim_ids]))
     reproj_mag = 1.0 / kp_std**2
     reproj_scale = reproj_loss_scale_mult * kp_std
 
-    r_cam, r_pt, r_uv = [], [], []
+    per_cam: dict[int, list] = {c: [] for c in range(len(cam_ids))}
     for p in all_pts:
         for imid, kp in rec.tracks[p]:
             if imid not in cam_local:
                 continue
-            r_cam.append(cam_local[imid])
-            r_pt.append(pt_local[p])
-            r_uv.append(rec.images[imid].keypoints[kp])
-    r_cam = np.asarray(r_cam, np.int32)
-    r_pt = np.asarray(r_pt, np.int32)
-    r_uv = np.asarray(r_uv, dtype).reshape(-1, 2) if len(r_uv) else np.zeros((0, 2), dtype)
+            per_cam[cam_local[imid]].append((pt_local[p], rec.images[imid].keypoints[kp]))
 
     # --- depth observations (per optim image with activated depth) ---
-    d_cam, d_pt, d_log, d_mag, d_scale = [], [], [], [], []
+    per_cam_d: dict[int, list] = {c: [] for c in range(len(cam_ids))}
     if use_depth:
         m = param_multiplier * truncation_multiplier * depth_rob_scale
         for imid in optim_ids:
@@ -151,23 +146,67 @@ def build_ba_data(
                 continue
             depths, variances, pids = depths[mask], variances[mask], pids[mask]
             inv_unc = 1.0 / np.clip(variances, 1e-6, None)
+            c = cam_local[imid]
             for k in range(len(depths)):
-                d_cam.append(cam_local[imid])
-                d_pt.append(pt_local[int(pids[k])])
-                d_log.append(np.log(max(depths[k], 1e-8)))
-                d_mag.append(depths[k] ** 2 * inv_unc[k])
-                d_scale.append(m * np.sqrt(variances[k]) / depths[k])
-    d_cam = np.asarray(d_cam, np.int32)
-    d_pt = np.asarray(d_pt, np.int32)
+                per_cam_d[c].append(
+                    (
+                        pt_local[int(pids[k])],
+                        np.log(max(depths[k], 1e-8)),
+                        depths[k] ** 2 * inv_unc[k],
+                        m * np.sqrt(variances[k]) / depths[k],
+                    )
+                )
 
-    # --- pad to buckets ---
+    # --- camera-major padded flat arrays ---
     Cb = _bucket(C, 2)
     Pb = _bucket(max(len(all_pts), 1))
-    Nob = _bucket(max(len(r_cam), 1))
-    Ndb = _bucket(max(len(d_cam), 1), 1)
+    Sc = _bucket(max([len(v) for v in per_cam.values()] + [1]))
+    Sdc = _bucket(max([len(v) for v in per_cam_d.values()] + [1]), 1)
+    No = Cb * Sc
+    Nd = Cb * Sdc
 
+    r_cam = np.zeros(No, np.int32)
+    r_pt = np.zeros(No, np.int32)
+    r_uv = np.zeros((No, 2), dtype)
+    r_valid = np.zeros(No, np.float32)
+    d_cam = np.zeros(Nd, np.int32)
+    d_pt = np.zeros(Nd, np.int32)
+    d_log = np.zeros(Nd, dtype)
+    d_mag_arr = np.zeros(Nd, dtype)
+    d_scale_arr = np.ones(Nd, dtype)
+    d_valid = np.zeros(Nd, np.float32)
+    for c in range(Cb):
+        base = c * Sc
+        r_cam[base : base + Sc] = min(c, C - 1) if C else 0
+        obs = sorted(per_cam.get(c, []), key=lambda o: o[0])  # point-sorted
+        for k, (pl, uv) in enumerate(obs):
+            r_pt[base + k] = pl
+            r_uv[base + k] = uv
+            r_valid[base + k] = 1.0
+        based = c * Sdc
+        d_cam[based : based + Sdc] = min(c, C - 1) if C else 0
+        dobs = sorted(per_cam_d.get(c, []), key=lambda o: o[0])
+        for k, (pl, lg, mg, sc_) in enumerate(dobs):
+            d_pt[based + k] = pl
+            d_log[based + k] = lg
+            d_mag_arr[based + k] = mg
+            d_scale_arr[based + k] = sc_
+            d_valid[based + k] = 1.0
+    r_cam = np.minimum(np.arange(No, dtype=np.int32) // Sc, Cb - 1)
+    d_cam = np.minimum(np.arange(Nd, dtype=np.int32) // Sdc, Cb - 1)
+
+    r_pt_slots, r_pt_mask = make_slot_tables(r_pt[r_valid > 0], Pb)
+    # remap slot indices back to padded positions
+    valid_pos = np.where(r_valid > 0)[0]
+    r_pt_slots = valid_pos[r_pt_slots].astype(np.int32) if len(valid_pos) else r_pt_slots
+    dvalid_pos = np.where(d_valid > 0)[0]
+    d_pt_slots, d_pt_mask = make_slot_tables(d_pt[d_valid > 0], Pb)
+    d_pt_slots = dvalid_pos[d_pt_slots].astype(np.int32) if len(dvalid_pos) else d_pt_slots
+
+    quat_p = _pad_to(quat, Cb)
+    quat_p[C:, 0] = 1.0  # identity quats for padded cameras (zero NaNs normalize)
     data = BAData(
-        quat=jnp.asarray(_pad_to(quat, Cb)),
+        quat=jnp.asarray(quat_p),
         t=jnp.asarray(_pad_to(t, Cb)),
         cam_dof=jnp.asarray(_pad_to(cam_dof, Cb)),
         fx=jnp.asarray(_pad_to(fx, Cb, 1)),
@@ -176,18 +215,22 @@ def build_ba_data(
         cy=jnp.asarray(_pad_to(cy, Cb)),
         xyz=jnp.asarray(_pad_to(xyz, Pb)),
         point_var=jnp.asarray(_pad_to(point_var, Pb)),
-        r_cam=jnp.asarray(_pad_to(r_cam, Nob)),
-        r_pt=jnp.asarray(_pad_to(r_pt, Nob)),
-        r_uv=jnp.asarray(_pad_to(r_uv, Nob)),
-        r_valid=jnp.asarray(_pad_to(np.ones(len(r_cam), np.float32), Nob)),
-        r_mag=jnp.asarray(np.full(Nob, reproj_mag, dtype)),
-        r_scale=jnp.asarray(np.full(Nob, reproj_scale, dtype)),
-        d_cam=jnp.asarray(_pad_to(d_cam, Ndb)),
-        d_pt=jnp.asarray(_pad_to(d_pt, Ndb)),
-        d_logtarget=jnp.asarray(_pad_to(np.asarray(d_log, dtype), Ndb)),
-        d_valid=jnp.asarray(_pad_to(np.ones(len(d_cam), np.float32), Ndb)),
-        d_mag=jnp.asarray(_pad_to(np.asarray(d_mag, dtype), Ndb)),
-        d_scale=jnp.asarray(_pad_to(np.asarray(d_scale, dtype), Ndb, 1)),
+        r_cam=jnp.asarray(r_cam),
+        r_pt=jnp.asarray(r_pt),
+        r_uv=jnp.asarray(r_uv),
+        r_valid=jnp.asarray(r_valid),
+        r_mag=jnp.asarray(np.full(No, reproj_mag, dtype)),
+        r_scale=jnp.asarray(np.full(No, reproj_scale, dtype)),
+        d_cam=jnp.asarray(d_cam),
+        d_pt=jnp.asarray(d_pt),
+        d_logtarget=jnp.asarray(d_log),
+        d_valid=jnp.asarray(d_valid),
+        d_mag=jnp.asarray(d_mag_arr),
+        d_scale=jnp.asarray(d_scale_arr),
+        r_pt_slots=jnp.asarray(r_pt_slots),
+        r_pt_slot_mask=jnp.asarray(r_pt_mask),
+        d_pt_slots=jnp.asarray(d_pt_slots),
+        d_pt_slot_mask=jnp.asarray(d_pt_mask),
     )
     return BAProblem(data=data, cam_ids=cam_ids, pt_ids=np.asarray(all_pts, np.int64), n_cams=C, n_pts=len(all_pts))
 

@@ -23,7 +23,9 @@ def fit_robust_gaussian_mad(data):
 def _image_depth_obs(rec: Reconstruction, imid, use_prior=True):
     """Per-image (kp_ids, kps, prior depths, valid, projected z)."""
     im = rec.images[imid]
-    depth = im.depth
+    depth = getattr(im, "depth", None)
+    if depth is None:
+        return None
     kp_ids = im.observed_kp_ids()
     if len(kp_ids) == 0:
         return None
@@ -67,7 +69,11 @@ def optimize_prior_shiftscale(
             scale = z / np.clip(obsd, 1e-6, None)
             im_scale = rec.images[imid].depth.scale
             proposed = scale * im_scale
-            others = [rec.images[i].depth.scale for i in bundle["optim_ids"] if i != imid and hasattr(rec.images[i], "depth")]
+            others = [
+                rec.images[i].depth.scale
+                for i in bundle["optim_ids"]
+                if i != imid and getattr(rec.images[i], "depth", None) is not None
+            ]
             if others:
                 map_scale = float(np.mean(others))
                 div = map_scale / np.clip(proposed, 1e-12, None)

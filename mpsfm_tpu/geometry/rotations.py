@@ -30,7 +30,7 @@ class Rigid3d(NamedTuple):
 
 
 def quat_normalize(q):
-    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
 
 
 def quat_conj(q):

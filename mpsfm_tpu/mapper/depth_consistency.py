@@ -1,0 +1,234 @@
+"""Two-view depth-consistency verification (z-buffered cross-projection).
+
+TPU-native port of the reference's DepthConsistencyChecker
+(mpsfm/sfm/mapper/depthconsistency.py): each image's refined depth map is
+splatted into the other view with min-depth z-buffering, differences are
+whitened by lifted + rotated covariances, pixels classified
+surface/occluded/invalid, and the pair score is the max invalid/valid
+ratio over both directions. The scatter-min z-buffer and the whitening
+are one jitted device program per direction; the relaxation ladder
+(×1.3 threshold growth, skip after 4) lives on the host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpsfm_tpu.config import BaseClass
+from mpsfm_tpu.scene.reconstruction import Reconstruction
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def reproject_depth_jax(depth1, K1, K2, M12, out_hw):
+    """Project depth map 1 into view 2. Returns (p2D12 (H,W,2), depth12,
+    in-canvas mask). M12 = cam2_from_world @ world_from_cam1 as 3x4."""
+    H, W = depth1.shape
+    x = jnp.arange(W, dtype=depth1.dtype)
+    y = jnp.arange(H, dtype=depth1.dtype)
+    xx, yy = jnp.meshgrid(x, y)
+    d = jnp.where(depth1 <= 0, 0.1, depth1)
+    xn = (xx - K1[0, 2]) / K1[0, 0]
+    yn = (yy - K1[1, 2]) / K1[1, 1]
+    p_c1 = jnp.stack([xn * d, yn * d, d], -1)  # (H,W,3)
+    p_c2 = jnp.einsum("ij,hwj->hwi", M12[:, :3], p_c1) + M12[:, 3]
+    z2 = p_c2[..., 2]
+    zs = jnp.where(jnp.abs(z2) < 1e-9, 1e-9, z2)
+    u2 = p_c2[..., 0] / zs * K2[0, 0] + K2[0, 2]
+    v2 = p_c2[..., 1] / zs * K2[1, 1] + K2[1, 2]
+    H2, W2 = out_hw
+    mask = (u2 >= 0) & ((u2 + 0.5) < W2) & (v2 >= 0) & ((v2 + 0.5) < H2) & (z2 > 0)
+    return jnp.stack([u2, v2], -1), z2, mask
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def min_buffer_jax(p2D, depth_proj, mask, out_hw):
+    """Scatter-min z-buffer: returns (min depth buffer (out_hw), per-source
+    'won the buffer' mask). Reference find_min_buffer
+    (depthconsistency.py:51-60) via a scatter-min instead of a loop."""
+    H2, W2 = out_hw
+    u = jnp.clip(p2D[..., 0].astype(jnp.int32), 0, W2 - 1)
+    v = jnp.clip(p2D[..., 1].astype(jnp.int32), 0, H2 - 1)
+    flat = v * W2 + u
+    d = jnp.where(mask, depth_proj, jnp.inf)
+    buf = jnp.full((H2 * W2,), jnp.inf, depth_proj.dtype).at[flat.reshape(-1)].min(d.reshape(-1))
+    won = (d == buf[flat]) & mask
+    return buf.reshape(H2, W2), won
+
+
+class DepthConsistencyChecker(BaseClass):
+    default_conf = {
+        "depth_cons_valid_thresh": 0.6,
+        "depth_cons_thresh": 0.15,
+        "init_depth_cons_thresh": 0.09,
+        "init_valid_thresh": 0.8,
+        "depth_consistency_resample": False,
+        "c": 15.0,
+        "verbose": 0,
+    }
+
+    def _init(self, rec: Reconstruction):
+        self.rec = rec
+        self.depth_cons_thresh = self.conf.depth_cons_thresh
+        self.reg_batch_dc_times_failed = 0
+        self.cons_thresh_times_increased = 0
+        self.skip_dc_check = False
+
+    # --- ladder state (reference :27-49) ---
+    def at_registration_success(self):
+        self.cons_thresh_times_increased = 0
+        self.depth_cons_thresh = self.conf.depth_cons_thresh
+        self.reg_batch_dc_times_failed = 0
+        for im in self.rec.images.values():
+            im.ignore_matches_AP = {}
+            im.failed_dc_check = False
+        self.skip_dc_check = False
+
+    def relax_thresholds(self):
+        self.depth_cons_thresh *= 1.3
+        self.cons_thresh_times_increased += 1
+        self.reg_batch_dc_times_failed = 0
+        for im in self.rec.images.values():
+            im.ignore_matches_AP = {}
+            im.failed_dc_check = False
+
+    # --- core check ---
+    def _image_depth(self, imid):
+        d = self.rec.images[imid].depth
+        return d.data if (d.activated and d.data is not None) else d.data_prior
+
+    def _K_grid(self, imid):
+        cam = self.rec.camera(imid)
+        K = cam.calibration_matrix().copy()
+        K[0] *= cam.sx
+        K[1] *= cam.sy
+        return K
+
+    def check_depth_consistency(self, imid1, imid2, score_thresh=None):
+        """Returns the per-direction classification dict (reference :62-159)."""
+        rec = self.rec
+        if score_thresh is None:
+            score_thresh = self.conf.depth_cons_valid_thresh
+        c = self.conf.c
+
+        d1 = np.asarray(self._image_depth(imid1), np.float32)
+        d2 = np.asarray(self._image_depth(imid2), np.float32)
+        K1 = jnp.asarray(self._K_grid(imid1), jnp.float32)
+        K2 = jnp.asarray(self._K_grid(imid2), jnp.float32)
+        pose1 = rec.images[imid1].pose
+        pose2 = rec.images[imid2].pose
+        M12 = pose2.matrix() @ np.vstack([pose1.inverse().matrix(), [0, 0, 0, 1]])
+        M21 = pose1.matrix() @ np.vstack([pose2.inverse().matrix(), [0, 0, 0, 1]])
+
+        p12, z12, m12 = reproject_depth_jax(jnp.asarray(d1), K1, K2, jnp.asarray(M12, jnp.float32), d2.shape)
+        p21, z21, m21 = reproject_depth_jax(jnp.asarray(d2), K2, K1, jnp.asarray(M21, jnp.float32), d1.shape)
+        buf12, won12 = min_buffer_jax(p12, z12, m12, d2.shape)
+        buf21, won21 = min_buffer_jax(p21, z21, m21, d1.shape)
+
+        p12 = np.asarray(p12)
+        p21 = np.asarray(p21)
+        m12 = np.asarray(m12)
+        m21 = np.asarray(m21)
+        buf12 = np.asarray(buf12)
+        buf21 = np.asarray(buf21)
+        won12 = np.asarray(won12)
+        won21 = np.asarray(won21)
+
+        # whitened test statistic t = (buffer - target depth)/sqrt(c²(σ̄²+σ²))
+        def whiten(src_id, dst_id, won_src, d_src, p_src, buf_src, d_dst):
+            var_s = np.asarray(rec.images[src_id].depth.uncertainty, np.float64).copy()
+            var_s /= rec.images[src_id].depth.conf.prior_std_multiplier**2
+            var_d = np.asarray(rec.images[dst_id].depth.uncertainty, np.float64).copy()
+            var_d /= rec.images[dst_id].depth.conf.prior_std_multiplier**2
+            ys, xs = np.where(won_src)
+            # z-variance of the lifted source pixel rotated into dst frame:
+            # dominated by the depth variance term; use σ_z² ≈ var_s (the
+            # rotation mixes in lateral terms; the reference's full J Σ Jᵀ
+            # chain is approximated by its depth component here).
+            R12 = (rec.images[dst_id].pose.rotation_matrix() @ rec.images[src_id].pose.rotation_matrix().T)
+            w_z = R12[2] ** 2  # how much src (x,y,z) variance lands on dst z
+            cam = rec.camera(src_id)
+            fx = cam.fx * cam.sx
+            fy = cam.fy * cam.sy
+            cx = cam.cx * cam.sx
+            cy = cam.cy * cam.sy
+            dd = d_src[ys, xs]
+            sx2 = var_s[ys, xs] * ((xs - cx) / fx) ** 2 + (dd / fx) ** 2
+            sy2 = var_s[ys, xs] * ((ys - cy) / fy) ** 2 + (dd / fy) ** 2
+            sz2 = var_s[ys, xs]
+            zbar_var = w_z[0] * sx2 + w_z[1] * sy2 + w_z[2] * sz2
+            u = np.clip(p_src[ys, xs, 0].astype(int), 0, d_dst.shape[1] - 1)
+            v = np.clip(p_src[ys, xs, 1].astype(int), 0, d_dst.shape[0] - 1)
+            t = buf_src[v, u] - d_dst[v, u]
+            t = t / np.sqrt((np.sqrt(zbar_var) * c) ** 2 + (np.sqrt(var_d[v, u]) * c) ** 2 + 1e-12)
+            full_t = np.zeros(won_src.shape)
+            full_t[ys, xs] = t
+            return full_t
+
+        t1 = whiten(imid1, imid2, won12, d1, p12, buf12, d2)
+        t2 = whiten(imid2, imid1, won21, d2, p21, buf21, d1)
+
+        def classify(t, canv):
+            surface = (np.abs(t) < score_thresh) & canv
+            occl = (t > score_thresh) & canv
+            invalid = (t < -score_thresh) & canv
+            return surface, occl, invalid
+
+        s1, o1, i1 = classify(t1, m12)
+        s2, o2, i2 = classify(t2, m21)
+        return {
+            "valid1": s1 | o1,
+            "valid2": s2 | o2,
+            "occl1": o1,
+            "occl2": o2,
+            "invalid1": i1,
+            "invalid2": i2,
+            "valid1_mask": m12,
+            "valid2_mask": m21,
+        }
+
+    def check_bundle_depth_consistency(self, imid, bundle, score_thresh=None):
+        optim_ids = [i for i in bundle["optim_ids"] if i != imid]
+        ref_nv, ref_v, qry_nv, qry_v = 0, 0, 0, 0
+        for ref in optim_ids:
+            out = self.check_depth_consistency(imid, ref, score_thresh=score_thresh)
+            ref_nv += int((~out["valid2"] & out["valid2_mask"]).sum())
+            ref_v += int((out["valid2_mask"] & ~out["occl2"]).sum())
+            qry_nv += int((~out["valid1"] & out["valid1_mask"]).sum())
+            qry_v += int((out["valid1_mask"] & ~out["occl1"]).sum())
+        score = max(ref_nv / max(ref_v, 0.1), qry_nv / max(qry_v, 0.1))
+        return score
+
+    def check_image(self, imid, bundle):
+        score = self.check_bundle_depth_consistency(imid, bundle)
+        self.rec.images[imid].last_dc_score = score
+        if score > self.depth_cons_thresh:
+            self.log(f"Depth consistency failed for {imid}: {score:.3f}")
+            self.at_failure(imid)
+            return False
+        self.log(f"Depth consistency passed for {imid}: {score:.3f}", level=2)
+        return True
+
+    def check_init_pair(self, init_pair):
+        ref = list(init_pair)[0]
+        score = self.check_bundle_depth_consistency(
+            ref, {"optim_ids": set(init_pair)}, score_thresh=self.conf.init_valid_thresh
+        )
+        return score <= self.conf.init_depth_cons_thresh
+
+    def at_failure(self, imid):
+        im = self.rec.images[imid]
+        im.failed_dc_check = True
+        if self.conf.depth_consistency_resample:
+            im.dc_times_inliers_resampled += 1
+            for ref_id, inlier_mask in self.rec.last_ap_inlier_masks.items():
+                if len(inlier_mask) > 0:
+                    if ref_id in im.ignore_matches_AP:
+                        used = ~im.ignore_matches_AP[ref_id]
+                        im.ignore_matches_AP[ref_id][used] |= inlier_mask
+                    else:
+                        im.ignore_matches_AP[ref_id] = inlier_mask.copy()
+        self.reg_batch_dc_times_failed += 1

@@ -1,0 +1,138 @@
+"""Optimizer facade: the reference Optimizer's public API
+(mpsfm/sfm/mapper/bundle_adjustment.py:18-333) over the TPU LM core."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mpsfm_tpu.ba import losses
+from mpsfm_tpu.ba.covariance import calculate_point_covs as _calc_covs
+from mpsfm_tpu.ba.problem import apply_ba_result, build_ba_data
+from mpsfm_tpu.ba.shift_scale import optimize_prior_shiftscale as _shift_scale
+from mpsfm_tpu.ba.shift_scale import update_truncation_multiplier as _trunc
+from mpsfm_tpu.ba.solver import solve_ba
+from mpsfm_tpu.config import BaseClass
+from mpsfm_tpu.scene.reconstruction import Reconstruction
+
+
+class Optimizer(BaseClass):
+    default_conf = {
+        "depth_loss_name": "cauchy",
+        "ref3d_loss_name": "trivial",
+        "reproj_loss_name": "softl1",
+        "reproj_loss_scale": 1.5,
+        "scale_filter": True,
+        "scale_filter_factor": 1.5,
+        "metric_scale_filter": True,
+        "rob_std": 2,
+        "min_truncation_mult": None,
+        "single_rescale": True,
+        "max_iters": 20,
+        "cg_iters": 100,
+        "use_depth": True,
+        "verbose": 0,
+    }
+
+    def _init(self, rec: Reconstruction):
+        self.rec = rec
+        self.truncation_multiplier = 1.0
+
+    def _solve(self, bundle, mode, fix_pose, depth_loss_name, param_multiplier=1.0,
+               allow_scale_filter=False, depth_type="update"):
+        prob = build_ba_data(
+            self.rec,
+            bundle,
+            mode=mode,
+            fix_pose=fix_pose,
+            reproj_loss_scale_mult=self.conf.reproj_loss_scale,
+            depth_rob_scale=self.conf.rob_std,
+            param_multiplier=param_multiplier,
+            truncation_multiplier=self.truncation_multiplier,
+            depth_type=depth_type,
+            allow_scale_filter=allow_scale_filter and self.conf.scale_filter,
+            scale_filter_factor=self.conf.scale_filter_factor,
+            use_depth=self.conf.use_depth,
+        )
+        quat, t, xyz, info = solve_ba(
+            prob.data,
+            reproj_loss=losses.LOSS_IDS[self.conf.reproj_loss_name],
+            depth_loss=losses.LOSS_IDS[depth_loss_name],
+            max_iters=self.conf.max_iters,
+            cg_iters=self.conf.cg_iters,
+        )
+        cost = float(info["cost"])
+        if not np.isfinite(cost):
+            return None, False
+        apply_ba_result(self.rec, prob, quat, t, xyz)
+        self.log(
+            f"BA[{mode}] cost {float(info['cost0']):.1f} -> {cost:.1f} "
+            f"({int(info['accepted'])} steps)",
+            level=2,
+        )
+        return info, True
+
+    def ba(self, bundle, mode="global", param_multiplier=1.0, allow_scale_filter=False, **kw):
+        return self._solve(
+            bundle, mode, fix_pose=False, depth_loss_name=self.conf.depth_loss_name,
+            param_multiplier=param_multiplier, allow_scale_filter=allow_scale_filter,
+        )
+
+    def refine_3d_points(self, bundle, depth_type="update", **kw):
+        """Poses fixed, points refined with depth regularization
+        (reference :276-283)."""
+        return self._solve(
+            bundle, "global", fix_pose=True, depth_loss_name=self.conf.ref3d_loss_name,
+            depth_type=depth_type,
+        )
+
+    def optimize_prior_shiftscale(self, bundle, allow_metric_scale_filter=False, **kw):
+        return _shift_scale(
+            self.rec,
+            bundle,
+            allow_scale_filter=kw.get("allow_scale_filter", False),
+            allow_metric_scale_filter=allow_metric_scale_filter,
+            scale_filter=self.conf.scale_filter,
+            scale_filter_factor=self.conf.scale_filter_factor,
+            metric_scale_filter=self.conf.metric_scale_filter,
+            single_rescale=self.conf.single_rescale,
+            verbose=self.conf.verbose,
+        )
+
+    def calculate_point_covs(self, bundle):
+        prob = build_ba_data(self.rec, bundle, mode="global", use_depth=False)
+        try:
+            _calc_covs(self.rec, prob)
+        except ValueError:
+            # too many cameras for the dense reduced system: fall back to
+            # per-point Hpp⁻¹ (ignores pose uncertainty)
+            self._fallback_point_covs(bundle)
+
+    def _fallback_point_covs(self, bundle):
+        rec = self.rec
+        for pid in bundle["pts3D"]:
+            if not rec.alive[pid]:
+                continue
+            H = np.zeros((3, 3))
+            kp_std = np.median([im.kp_std for im in rec.images.values()])
+            for imid, kp in rec.tracks[pid]:
+                im = rec.images[imid]
+                cam = rec.camera(imid)
+                X = rec.xyz[pid]
+                p_cam = im.pose.transform(X[None])[0]
+                z = max(p_cam[2], 1e-6)
+                R = im.pose.rotation_matrix()
+                # d(px)/dX = K_f * [1/z, 0, -x/z²; 0, 1/z, -y/z²] @ R
+                J = (
+                    np.array(
+                        [
+                            [cam.fx / z, 0, -cam.fx * p_cam[0] / z**2],
+                            [0, cam.fy / z, -cam.fy * p_cam[1] / z**2],
+                        ]
+                    )
+                    @ R
+                )
+                H += J.T @ J / kp_std**2
+            rec.point_covs[int(pid)] = np.linalg.inv(H + 1e-8 * np.eye(3))
+
+    def update_truncation_multiplier(self, imids):
+        self.truncation_multiplier = _trunc(self.rec, imids, self.conf.min_truncation_mult)

@@ -1,0 +1,397 @@
+"""Image registration: init-pair bootstrapping + depth-lifted PnP.
+
+TPU-native port of the reference's MpsfmRegistration
+(mpsfm/sfm/mapper/registration.py): the init pair arbitrates between
+essential-matrix relative pose and absolute pose on depth-lifted 3D by
+parallax count (:247-339); subsequent images register by RANSAC-PnP on
+mixed triangulated/lifted 2D-3D pairs (:132-238) with the AP-inlier
+halving failure ladder. Host code assembles flat arrays; all estimation
+runs in the batched jitted kernels from mpsfm_tpu.estimators.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpsfm_tpu.config import BaseClass
+from mpsfm_tpu.estimators.ransac import ransac_essential, ransac_pnp
+from mpsfm_tpu.scene.reconstruction import Pose, Reconstruction
+
+_BUCKET_MIN = 64
+
+
+def _bucket(n):
+    b = _BUCKET_MIN
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad2(a, n):
+    out = np.zeros((n, *a.shape[1:]), a.dtype)
+    out[: len(a)] = a
+    return out
+
+
+def run_ransac_pnp(xyz, xy_norm, thresh_norm_sq, num_hyp=512, seed=0):
+    """Padded host wrapper around the jitted PnP RANSAC."""
+    n = len(xyz)
+    nb = _bucket(n)
+    valid = np.zeros(nb, bool)
+    valid[:n] = True
+    out = ransac_pnp(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(_pad2(np.asarray(xyz, np.float32), nb)),
+        jnp.asarray(_pad2(np.asarray(xy_norm, np.float32), nb)),
+        jnp.asarray(valid),
+        jnp.float32(thresh_norm_sq),
+        num_hyp=num_hyp,
+    )
+    return {
+        "pose": Pose(np.asarray(out["pose"].quat, np.float64), np.asarray(out["pose"].t, np.float64)),
+        "inlier_mask": np.asarray(out["inlier_mask"])[:n],
+        "num_inliers": int(out["num_inliers"]),
+    }
+
+
+def run_ransac_essential(xy1n, xy2n, thresh_norm_sq, num_hyp=512, seed=0):
+    n = len(xy1n)
+    nb = _bucket(n)
+    valid = np.zeros(nb, bool)
+    valid[:n] = True
+    out = ransac_essential(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(_pad2(np.asarray(xy1n, np.float32), nb)),
+        jnp.asarray(_pad2(np.asarray(xy2n, np.float32), nb)),
+        jnp.asarray(valid),
+        jnp.float32(thresh_norm_sq),
+        num_hyp=num_hyp,
+    )
+    return {
+        "pose": Pose(np.asarray(out["pose"].quat, np.float64), np.asarray(out["pose"].t, np.float64)),
+        "inlier_mask": np.asarray(out["inlier_mask"])[:n],
+        "num_inliers": int(out["num_inliers"]),
+    }
+
+
+def _tri_angles_np(c1, c2, xyz):
+    r1 = xyz - c1
+    r2 = xyz - c2
+    n1 = np.linalg.norm(r1, axis=-1)
+    n2 = np.linalg.norm(r2, axis=-1)
+    baseline = np.linalg.norm(c1 - c2)
+    denom = 2.0 * np.sqrt(n1 * n2)
+    nom = n1 + n2 - baseline
+    ang = np.abs(np.arccos(np.clip(np.where(denom > 0, nom / np.maximum(denom, 1e-12), 1.0), -1, 1)))
+    return np.rad2deg(np.minimum(ang, np.pi - ang))
+
+
+def _two_view_triangulate_np(pose1: Pose, pose2: Pose, xy1n, xy2n):
+    """Batched two-view DLT in numpy (host-scale arrays)."""
+    P1 = pose1.matrix()
+    P2 = pose2.matrix()
+    rows = np.stack(
+        [
+            xy1n[:, 0, None] * P1[2] - P1[0],
+            xy1n[:, 1, None] * P1[2] - P1[1],
+            xy2n[:, 0, None] * P2[2] - P2[0],
+            xy2n[:, 1, None] * P2[2] - P2[1],
+        ],
+        axis=1,
+    )  # (N,4,4)
+    AtA = np.einsum("nij,nik->njk", rows, rows)
+    _, v = np.linalg.eigh(AtA)
+    X = v[..., :, 0]
+    w = np.where(np.abs(X[:, 3]) < 1e-12, 1e-12, X[:, 3])
+    return X[:, :3] / w[:, None]
+
+
+class Registration(BaseClass):
+    default_conf = {
+        "lifted_registration": True,
+        "reduce_min_inliers_at_failure": 6,
+        "parallax_thresh": 1.5,
+        "combined_triangle_thresh": 1.5,
+        "robust_triangles": 1,
+        # COLMAP operating points (reference imports the full option set):
+        "init_min_tri_angle": 16.0,
+        "init_min_num_points": 3,  # reference floor (registration.py:130); raise
+        # for prior-less operation where lifting can't rescue a weak init
+        "abs_pose_max_error": 12.0,
+        "abs_pose_min_num_inliers": 30,
+        "rel_pose_max_error": 4.0,
+        "num_hyp": 512,
+        "verbose": 0,
+    }
+
+    def _init(self, rec: Reconstruction, corr, triangulator):
+        self.rec = rec
+        self.corr = corr  # Correspondences facade (matches(imid1,imid2))
+        self.triangulator = triangulator
+        self.half_ap_min_inliers = 0
+        self._seed = 0
+
+    def _next_seed(self):
+        self._seed += 1
+        return self._seed
+
+    # ---------- init pair ----------
+    def register_and_triangulate_init_pair(self, imid1, imid2):
+        rec = self.rec
+        matches = self.corr.matches(imid1, imid2)
+        if len(matches) < 8:
+            return False
+        cam1, cam2 = rec.camera(imid1), rec.camera(imid2)
+        kps1 = rec.images[imid1].keypoints
+        kps2 = rec.images[imid2].keypoints
+
+        candidates, pose2 = self._init_pair_points_and_pose(
+            imid1, imid2, kps1, kps2, matches, cam1, cam2
+        )
+        rec.images[imid1].pose = Pose.identity()
+        rec.images[imid2].pose = pose2
+        rec.register_image(imid1)
+        rec.register_image(imid2)
+        if candidates is None or len(candidates["xyz"]) < 3:
+            self.log(f"Init pair ({imid1},{imid2}): <3 candidate points")
+            return False
+        added = 0
+        for i in range(len(candidates["xyz"])):
+            kp1, kp2 = candidates["kp1"][i], candidates["kp2"][i]
+            if rec.images[imid1].point3D_ids[kp1] >= 0 or rec.images[imid2].point3D_ids[kp2] >= 0:
+                continue
+            if (
+                candidates["tri_angle"][i] > self.conf.init_min_tri_angle
+                and candidates["posdepth1"][i]
+                and candidates["posdepth2"][i]
+            ):
+                rec.add_point3D(candidates["xyz"][i], [(imid1, int(kp1)), (imid2, int(kp2))])
+                added += 1
+        return rec.num_points3D() >= max(3, self.conf.init_min_num_points)
+
+    def _init_pair_points_and_pose(self, imid1, imid2, kps1, kps2, matches, cam1, cam2):
+        rec = self.rec
+        xy1n_all = cam1.cam_from_img(kps1)
+        xy2n_all = cam2.cam_from_img(kps2)
+        m1, m2 = matches[:, 0], matches[:, 1]
+
+        f1 = cam1.mean_focal()
+        f2 = cam2.mean_focal()
+        e_thr = (0.5 * (self.conf.rel_pose_max_error / f1 + self.conf.rel_pose_max_error / f2)) ** 2
+        E_info = run_ransac_essential(
+            xy1n_all[m1], xy2n_all[m2], e_thr, self.conf.num_hyp, self._next_seed()
+        )
+        inlier_matches = matches[E_info["inlier_mask"]]
+
+        pose1 = Pose.identity()
+        pose_e = E_info["pose"]
+        # triangulate essential inliers, get angles
+        tri_xyz = _two_view_triangulate_np(
+            pose1, pose_e, xy1n_all[inlier_matches[:, 0]], xy2n_all[inlier_matches[:, 1]]
+        )
+        tri_ang = _tri_angles_np(pose1.center(), pose_e.center(), tri_xyz)
+
+        # lift image1 kps by prior depth for absolute pose of image2
+        depth1 = getattr(rec.images[imid1], "depth", None)
+        AP_info = None
+        lifted3d = None
+        valid_lift = None
+        if depth1 is not None and self.conf.lifted_registration:
+            d = depth1.data_prior_at_kps(kps1)
+            valid_lift = depth1.valid_at_kps(kps1) & (d > 0)
+            lifted3d = np.concatenate([xy1n_all, np.ones((len(kps1), 1))], -1) * d[:, None]
+            vm = matches[valid_lift[matches[:, 0]]]
+            if len(vm) >= 6:
+                ap_thr = (
+                    0.5 * (self.conf.abs_pose_max_error / f1 + self.conf.abs_pose_max_error / f2)
+                ) ** 2
+                AP_info = run_ransac_pnp(
+                    lifted3d[vm[:, 0]], xy2n_all[vm[:, 1]], ap_thr, self.conf.num_hyp, self._next_seed()
+                )
+
+        if AP_info is None:
+            high_parallax = True
+        else:
+            high_parallax = (tri_ang > self.conf.parallax_thresh).sum() > AP_info["num_inliers"]
+
+        cand = {"kp1": [], "kp2": [], "xyz": [], "tri_angle": [], "posdepth1": [], "posdepth2": []}
+
+        def add_cands(kp1s, kp2s, xyzs, pose2):
+            angs = _tri_angles_np(pose1.center(), pose2.center(), xyzs)
+            z1 = xyzs[:, 2]
+            p2c = pose2.transform(xyzs)
+            z2 = p2c[:, 2]
+            for k in range(len(kp1s)):
+                cand["kp1"].append(int(kp1s[k]))
+                cand["kp2"].append(int(kp2s[k]))
+                cand["xyz"].append(xyzs[k])
+                cand["tri_angle"].append(float(angs[k]))
+                cand["posdepth1"].append(bool(z1[k] > 0))
+                cand["posdepth2"].append(bool(z2[k] > 0))
+
+        if high_parallax:
+            pose2 = pose_e
+            # rescale lifted depth to the essential (unit-baseline) frame via
+            # median(z_triangulated / d_prior) (reference :283-287)
+            if lifted3d is not None and len(inlier_matches) > 0:
+                d_prior = depth1.data_prior_at_kps(kps1[inlier_matches[:, 0]])
+                ok = d_prior > 0
+                rescale = np.median(tri_xyz[ok, 2] / d_prior[ok]) if ok.sum() else 1.0
+                lifted_resc = lifted3d * rescale
+                vm = inlier_matches[valid_lift[inlier_matches[:, 0]]]
+                lift_x = lifted_resc[vm[:, 0]]
+                ang_l = _tri_angles_np(pose1.center(), pose2.center(), lift_x)
+                # combine: lifted where low angle, triangulated where high
+                keep_l = ang_l < self.conf.combined_triangle_thresh
+                add_cands(vm[keep_l, 0], vm[keep_l, 1], lift_x[keep_l], pose2)
+            keep_t = tri_ang >= self.conf.combined_triangle_thresh
+            add_cands(inlier_matches[keep_t, 0], inlier_matches[keep_t, 1], tri_xyz[keep_t], pose2)
+        else:
+            pose2 = AP_info["pose"]
+            vm = matches[valid_lift[matches[:, 0]]]
+            vin = vm[AP_info["inlier_mask"]]
+            lift_x = lifted3d[vin[:, 0]]
+            ang_l = _tri_angles_np(pose1.center(), pose2.center(), lift_x)
+            tri_x = _two_view_triangulate_np(pose1, pose2, xy1n_all[vin[:, 0]], xy2n_all[vin[:, 1]])
+            ang_t = _tri_angles_np(pose1.center(), pose2.center(), tri_x)
+            use_tri = ang_t >= self.conf.combined_triangle_thresh
+            add_cands(vin[~use_tri, 0], vin[~use_tri, 1], lift_x[~use_tri], pose2)
+            add_cands(vin[use_tri, 0], vin[use_tri, 1], tri_x[use_tri], pose2)
+
+        if len(cand["xyz"]):
+            cand["xyz"] = np.stack(cand["xyz"])
+        return cand, pose2
+
+    # ---------- next image ----------
+    def _find_2D3D_pairs(self, ref_id, imid):
+        """2D (query px-normalized) / 3D pairs from one registered ref
+        (reference _find_2D3D_pairs + _collect_pairs, :68-94,341-373)."""
+        rec = self.rec
+        corr = self.corr.matches(ref_id, imid)
+        im = rec.images[imid]
+        if ref_id in im.ignore_matches_AP:
+            keep = ~im.ignore_matches_AP[ref_id]
+            if len(keep) == len(corr):
+                corr = corr[keep]
+        out = {"2d_kp": np.zeros(0, np.int64), "3d": np.zeros((0, 3)), "lifted": np.zeros(0, bool), "3dids": np.zeros(0, np.int64)}
+        if len(corr) == 0:
+            return out
+        ref_kps, qry_kps = corr[:, 0], corr[:, 1]
+        ref_im = rec.images[ref_id]
+        pids = ref_im.point3D_ids[ref_kps]
+        use_3d = pids >= 0
+        pids3 = pids[use_3d]
+        # exclude risky (low-parallax) triangulated points from the hard set
+        if self.conf.robust_triangles is not None and self.conf.lifted_registration and len(pids3):
+            risky = rec.find_points3D_with_small_triangulation_angle(self.conf.robust_triangles, pids3)
+            tmp = use_3d.copy()
+            tmp[np.where(use_3d)[0][risky]] = False
+            use_3d = tmp
+            pids3 = pids[use_3d]
+        xyz = np.full((len(corr), 3), -1.0)
+        if use_3d.sum():
+            xyz[use_3d] = rec.xyz[pids3]
+        lifted = ~use_3d
+        if self.conf.lifted_registration:
+            depth = getattr(ref_im, "depth", None)
+            if lifted.sum() and depth is not None and (depth.activated or depth.data is not None or True):
+                kl = ref_kps[lifted]
+                xy = ref_im.keypoints[kl]
+                d = (
+                    depth.data_at_kps(xy)
+                    if (depth.activated and depth.data is not None)
+                    else depth.data_prior_at_kps(xy)
+                )
+                cam = rec.camera(ref_id)
+                xyn = cam.cam_from_img(xy)
+                p_cam = np.concatenate([xyn, np.ones((len(xy), 1))], -1) * d[:, None]
+                xyz[lifted] = ref_im.pose.inverse().transform(p_cam)
+            elif lifted.sum():
+                # no depth: drop the lifted part
+                keep = use_3d
+                return {
+                    "2d_kp": qry_kps[keep],
+                    "3d": xyz[keep],
+                    "lifted": np.zeros(int(keep.sum()), bool),
+                    "3dids": pids3,
+                }
+        else:
+            keep = use_3d
+            return {
+                "2d_kp": qry_kps[keep],
+                "3d": xyz[keep],
+                "lifted": np.zeros(int(keep.sum()), bool),
+                "3dids": pids3,
+            }
+        return {"2d_kp": qry_kps, "3d": xyz, "lifted": lifted, "3dids": pids3}
+
+    def register_next_image(self, imid, ref_imids=None):
+        rec = self.rec
+        im = rec.images[imid]
+        cam = rec.camera(imid)
+        if ref_imids is None:
+            ref_imids = list(rec.registered_images.keys())
+        ref_imids = sorted(ref_imids)
+
+        ap_min = self.conf.abs_pose_min_num_inliers
+        if self.half_ap_min_inliers:
+            ap_min = int(ap_min / (1.2**self.half_ap_min_inliers))
+        force = self.half_ap_min_inliers >= self.conf.reduce_min_inliers_at_failure
+
+        pair_data = {r: self._find_2D3D_pairs(r, imid) for r in ref_imids}
+        pts2d_kp = np.concatenate([pair_data[r]["2d_kp"] for r in ref_imids])
+        pts3d = np.concatenate([pair_data[r]["3d"] for r in ref_imids])
+        lifted = np.concatenate([pair_data[r]["lifted"] for r in ref_imids])
+        ids3d = np.concatenate([pair_data[r]["3dids"] for r in ref_imids])
+
+        # dedup triangulated by point id (reference :155-163)
+        if (~lifted).sum() > 0:
+            uniq, uidx = np.unique(ids3d, return_index=True)
+            tri_kp = pts2d_kp[~lifted][uidx]
+            tri_3d = pts3d[~lifted][uidx]
+        else:
+            uniq = np.zeros(0, np.int64)
+            tri_kp = np.zeros(0, np.int64)
+            tri_3d = np.zeros((0, 3))
+        lift_kp = pts2d_kp[lifted]
+        lift_3d = pts3d[lifted]
+        all_kp = np.concatenate([tri_kp, lift_kp])
+        all_3d = np.concatenate([tri_3d, lift_3d])
+        if len(all_kp) < 6:
+            self.log(f"Image {imid}: <6 2D-3D pairs")
+            return False
+
+        xy_norm = cam.cam_from_img(im.keypoints[all_kp])
+        thr = (self.conf.abs_pose_max_error / cam.mean_focal()) ** 2
+        AP = run_ransac_pnp(all_3d, xy_norm, thr, self.conf.num_hyp, self._next_seed())
+        if AP["num_inliers"] < max(ap_min, 6) and not force:
+            self.log(f"Image {imid}: AP inliers {AP['num_inliers']} < {ap_min}")
+            return False
+        if AP["num_inliers"] < 6:
+            return False
+
+        # remap inlier mask back per-ref (reference :178-194)
+        inl = AP["inlier_mask"]
+        t_mask = inl[: len(tri_kp)]
+        l_mask = inl[len(tri_kp) :]
+        # per-point-id inlier lookup
+        id_inl = dict(zip(uniq.tolist(), t_mask.tolist()))
+        remapped = np.zeros(len(pts2d_kp), bool)
+        tri_positions = np.where(~lifted)[0]
+        for pos, pid in zip(tri_positions, ids3d):
+            remapped[pos] = id_inl.get(int(pid), False)
+        remapped[np.where(lifted)[0]] = l_mask
+        sizes = [len(pair_data[r]["2d_kp"]) for r in ref_imids]
+        split = np.split(remapped, np.cumsum(sizes)[:-1])
+        rec.last_ap_inlier_masks = dict(zip(ref_imids, split))
+
+        im.pose = AP["pose"]
+        rec.register_image(imid)
+        return True
+
+    def register_and_triangulate_next_image(self, imid, ref_imids=None):
+        if not self.register_next_image(imid, ref_imids=ref_imids):
+            return False
+        return self.triangulator.triangulate_image(imid)

@@ -1,0 +1,345 @@
+"""Incremental triangulation: track creation, continuation, completion,
+merging, retriangulation, and MP-SfM's low-parallax lifting.
+
+TPU-native replacement for COLMAP's IncrementalTriangulator + the
+reference's MpsfmTriangulator wrapper (mpsfm/sfm/mapper/triangulator.py).
+The pointer-chasing COLMAP recursion becomes flat batched passes:
+candidate tracks are padded to (N, T) observation tables and triangulated
+with one masked n-view DLT (batched 4x4 eigh), and all acceptance gates
+(reprojection error, triangulation angle, cheirality) are vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mpsfm_tpu.config import BaseClass
+from mpsfm_tpu.scene.corrgraph import CorrespondenceGraph
+from mpsfm_tpu.scene.reconstruction import INVALID, Reconstruction
+
+
+def _nview_triangulate(P_mats, xy_norm, mask):
+    """Masked n-view DLT, batched in numpy.
+
+    P_mats: (N,T,3,4), xy_norm: (N,T,2), mask: (N,T). Returns xyz (N,3).
+    """
+    a0 = xy_norm[..., 0:1] * P_mats[..., 2, :] - P_mats[..., 0, :]  # (N,T,4)
+    a1 = xy_norm[..., 1:2] * P_mats[..., 2, :] - P_mats[..., 1, :]
+    A = np.concatenate([a0, a1], axis=1)  # (N,2T,4)
+    m = np.concatenate([mask, mask], axis=1).astype(A.dtype)  # (N,2T)
+    Aw = A * m[..., None]
+    AtA = np.einsum("nti,ntj->nij", Aw, Aw)
+    # batched eigh, smallest eigenvector
+    _, v = np.linalg.eigh(AtA)
+    X = v[..., :, 0]
+    w = X[..., 3]
+    w = np.where(np.abs(w) < 1e-12, 1e-12, w)
+    return X[..., :3] / w[..., None]
+
+
+class Triangulator(BaseClass):
+    default_conf = {
+        # COLMAP IncrementalTriangulatorOptions analogs:
+        "complete_max_reproj_error": 4.0,
+        "merge_max_reproj_error": 4.0,
+        "min_angle": 0.001,  # reference overrides COLMAP's 1.5 (mapper/base.py:36-38)
+        "ignore_two_view_tracks": False,
+        # MP-SfM extras (reference triangulator.py:19-28):
+        "hard_angle": 1.5,
+        "retri_min_angle": 1.5,
+        "lift_low_parallax": True,
+        "nsafe_threshold": 60,
+        "new_retry_nbatch": 5,
+        "verbose": 0,
+    }
+
+    def _init(self, rec: Reconstruction, cg: CorrespondenceGraph):
+        self.rec = rec
+        self.cg = cg
+
+    # ---------- helpers ----------
+    def _reproj_error_px(self, imid, pids, kps_px):
+        px, z = self.rec.project_points_into_image(imid, pids)
+        err = np.sqrt(((px - kps_px) ** 2).sum(-1))
+        return np.where(z > 0, err, np.inf)
+
+    def _gather_candidates(self, imid):
+        """For each unassigned kp of imid: correspondences in registered
+        images, split into (a) those pointing at existing 3D points and
+        (b) fully untriangulated groups."""
+        im = self.rec.images[imid]
+        indptr, adj_im, adj_kp = self.cg.correspondences_all(imid)
+        reg = {i for i in self.rec.reg_image_ids()}
+        return im, indptr, adj_im, adj_kp, reg
+
+    # ---------- main ops ----------
+    def triangulate_image(self, imid):
+        """Create/continue tracks for a newly registered image
+        (IncrementalTriangulator.triangulate_image analog), then lift
+        low-parallax creations from refined depth (reference
+        triangulator.py:46-85)."""
+        before = set(self.rec.point_ids().tolist()) if self.conf.lift_low_parallax else None
+        self._triangulate_image_core(imid)
+        if self.conf.lift_low_parallax:
+            new_pids = np.array(sorted(set(self.rec.point_ids().tolist()) - before), np.int64)
+            self._lift_low_parallax(new_pids)
+        return True
+
+    def _triangulate_image_core(self, imid):
+        im, indptr, adj_im, adj_kp, reg = self._gather_candidates(imid)
+        if not self.rec.images[imid].registered:
+            return
+        max_err = self.conf.complete_max_reproj_error * np.median(
+            [i.kp_std for i in self.rec.images.values()]
+        )
+        n_kp = len(im.keypoints)
+
+        # Pass 1 — continue existing tracks: kp unassigned, a correspondence
+        # has a 3D point, and that point reprojects into imid within budget.
+        continue_kp, continue_pid = [], []
+        create_groups = []  # (kp, [(imid2, kp2), ...]) with no 3D anywhere
+        for kp in range(n_kp):
+            if im.point3D_ids[kp] >= 0:
+                continue
+            a, b = indptr[kp], indptr[kp + 1]
+            if a == b:
+                continue
+            oims = adj_im[a:b]
+            okps = adj_kp[a:b]
+            found_pid = -1
+            group = []
+            for oim, okp in zip(oims, okps):
+                if oim not in reg:
+                    continue
+                pid = self.rec.images[oim].point3D_ids[okp]
+                if pid >= 0:
+                    found_pid = int(pid)
+                    break
+                group.append((int(oim), int(okp)))
+            if found_pid >= 0:
+                continue_kp.append(kp)
+                continue_pid.append(found_pid)
+            elif group:
+                create_groups.append((kp, group))
+
+        if continue_kp:
+            kps_px = im.keypoints[continue_kp]
+            err = self._reproj_error_px(imid, continue_pid, kps_px)
+            for kp, pid, e in zip(continue_kp, continue_pid, err):
+                if e < max_err and self.rec.alive[pid]:
+                    self.rec.add_observation(pid, imid, int(kp))
+
+        # Pass 2 — create new tracks (batched masked DLT).
+        if create_groups:
+            if self.conf.ignore_two_view_tracks:
+                create_groups = [g for g in create_groups if len(g[1]) >= 2]
+            self._create_tracks(imid, create_groups)
+
+    def _create_tracks(self, imid, groups):
+        rec = self.rec
+        T = max(len(g[1]) for g in groups) + 1
+        N = len(groups)
+        P_mats = np.zeros((N, T, 3, 4))
+        xy_n = np.zeros((N, T, 2))
+        mask = np.zeros((N, T), bool)
+        obs_tbl = []  # per group list of (imid, kp)
+        pose_cache = {}
+        for i in rec.reg_image_ids():
+            pose_cache[i] = rec.images[i].pose.matrix()
+        for gi, (kp, group) in enumerate(groups):
+            obs = [(imid, kp)] + group
+            obs_tbl.append(obs)
+            for ti, (oim, okp) in enumerate(obs):
+                cam = rec.camera(oim)
+                P_mats[gi, ti] = pose_cache[oim]
+                xy_n[gi, ti] = cam.cam_from_img(rec.images[oim].keypoints[okp])
+                mask[gi, ti] = True
+        xyz = _nview_triangulate(P_mats, xy_n, mask)
+
+        # acceptance: cheirality in all views, reproj errors, min angle
+        max_err = self.conf.complete_max_reproj_error * np.median(
+            [i.kp_std for i in rec.images.values()]
+        )
+        for gi, obs in enumerate(obs_tbl):
+            X = xyz[gi]
+            ok = np.isfinite(X).all()
+            if not ok:
+                continue
+            good_obs = []
+            for oim, okp in obs:
+                pose = rec.images[oim].pose
+                p_cam = pose.transform(X[None])[0]
+                if p_cam[2] <= 1e-8:
+                    continue
+                cam = rec.camera(oim)
+                px = cam.img_from_cam(p_cam[:2] / p_cam[2])
+                if np.linalg.norm(px - rec.images[oim].keypoints[okp]) < max_err:
+                    good_obs.append((oim, okp))
+            if len(good_obs) < 2:
+                continue
+            centers = np.stack([rec.images[oim].pose.center() for oim, _ in good_obs])
+            r = X[None] - centers
+            rn = r / np.maximum(np.linalg.norm(r, axis=-1, keepdims=True), 1e-12)
+            cosang = np.clip(rn @ rn.T, -1, 1)
+            ang = np.arccos(cosang)
+            ang = np.minimum(ang, np.pi - ang)
+            iu = np.triu_indices(len(good_obs), 1)
+            if len(iu[0]) == 0 or np.rad2deg(ang[iu].max()) < self.conf.min_angle:
+                continue
+            rec.add_point3D(X, good_obs)
+
+    def _lift_low_parallax(self, new_pids):
+        """Delete freshly created low-parallax points and recreate them by
+        lifting from the first depth-activated observer
+        (reference triangulator.py:49-83)."""
+        rec = self.rec
+        if len(new_pids) == 0:
+            return
+        risky = rec.find_points3D_with_small_triangulation_angle(self.conf.hard_angle, new_pids)
+        for pid in new_pids[risky]:
+            self._lift_point(int(pid))
+
+    def _lift_point(self, pid):
+        rec = self.rec
+        tr = list(rec.tracks[pid])
+        rec.delete_point3D(pid)
+        for oim, okp in tr:
+            im = rec.images[oim]
+            depth = getattr(im, "depth", None)
+            if depth is None or not depth.activated:
+                continue
+            xy = im.keypoints[okp][None]
+            if not depth.valid_at_kps(xy)[0]:
+                continue
+            d = depth.data_at_kps(xy)
+            cam = rec.camera(oim)
+            xyn = cam.cam_from_img(xy)
+            p_cam = np.concatenate([xyn, np.ones((1, 1))], -1) * d[:, None]
+            X = im.pose.inverse().transform(p_cam)[0]
+            track = []
+            for oim2, okp2 in tr:
+                p2 = rec.images[oim2].pose.transform(X[None])[0]
+                if p2[2] >= np.finfo(float).eps:
+                    track.append((oim2, okp2))
+            if len(track) >= 2:
+                rec.add_point3D(X, track)
+            break
+
+    def complete_tracks(self, pids):
+        """Extend tracks through correspondences of current observations
+        (COLMAP CompleteTracks analog, one transitive level)."""
+        rec = self.rec
+        n = 0
+        reg = set(rec.reg_image_ids())
+        max_err = self.conf.complete_max_reproj_error * np.median(
+            [i.kp_std for i in rec.images.values()]
+        )
+        for pid in pids:
+            if not (0 <= pid < len(rec.alive)) or not rec.alive[pid]:
+                continue
+            frontier = list(rec.tracks[pid])
+            for oim, okp in frontier:
+                oims, okps = self.cg.correspondences(oim, okp)
+                for cim, ckp in zip(oims, okps):
+                    cim = int(cim)
+                    ckp = int(ckp)
+                    if cim not in reg or rec.images[cim].point3D_ids[ckp] >= 0:
+                        continue
+                    err = self._reproj_error_px(cim, [pid], rec.images[cim].keypoints[ckp][None])
+                    if err[0] < max_err:
+                        rec.add_observation(pid, cim, ckp)
+                        n += 1
+        return n
+
+    def complete_all_tracks(self):
+        return self.complete_tracks(self.rec.point_ids().tolist())
+
+    def merge_tracks(self, pids):
+        """Merge point pairs linked by correspondences when the weighted
+        merged point reprojects within budget everywhere (COLMAP
+        MergeTracks analog)."""
+        rec = self.rec
+        n = 0
+        max_err = self.conf.merge_max_reproj_error * np.median(
+            [i.kp_std for i in rec.images.values()]
+        )
+        reg = set(rec.reg_image_ids())
+        for pid in list(pids):
+            if not (0 <= pid < len(rec.alive)) or not rec.alive[pid]:
+                continue
+            partner = -1
+            for oim, okp in list(rec.tracks[pid]):
+                oims, okps = self.cg.correspondences(oim, okp)
+                for cim, ckp in zip(oims, okps):
+                    cim = int(cim)
+                    if cim not in reg:
+                        continue
+                    pid2 = rec.images[cim].point3D_ids[int(ckp)]
+                    if pid2 >= 0 and pid2 != pid:
+                        partner = int(pid2)
+                        break
+                if partner >= 0:
+                    break
+            if partner < 0:
+                continue
+            l1, l2 = rec.track_len[pid], rec.track_len[partner]
+            X = (rec.xyz[pid] * l1 + rec.xyz[partner] * l2) / (l1 + l2)
+            obs = list(rec.tracks[pid]) + list(rec.tracks[partner])
+            ok = True
+            for oim, okp in obs:
+                pose = rec.images[oim].pose
+                p_cam = pose.transform(X[None])[0]
+                if p_cam[2] <= 1e-8:
+                    ok = False
+                    break
+                cam = rec.camera(oim)
+                px = cam.img_from_cam(p_cam[:2] / p_cam[2])
+                if np.linalg.norm(px - rec.images[oim].keypoints[okp]) >= max_err:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            rec.delete_point3D(pid)
+            rec.delete_point3D(partner)
+            merged = rec.add_point3D(X, obs)
+            if merged != INVALID:
+                n += 1
+        return n
+
+    def merge_all_tracks(self):
+        return self.merge_tracks(self.rec.point_ids().tolist())
+
+    def complete_and_merge_all_tracks(self):
+        return self.complete_all_tracks() + self.merge_all_tracks()
+
+    def complete_and_merge_tracks(self, pids):
+        return self.complete_tracks(pids) + self.merge_tracks(pids)
+
+    def retriangulate(self):
+        """Re-run creation for images with few long tracks, protecting
+        "safe" images (reference triangulator.py:102-163): recreate
+        under-reconstructed areas, then lift low-parallax survivors."""
+        rec = self.rec
+        risky_imids = []
+        for imid in rec.reg_image_ids():
+            pids = rec.images[imid].point3D_ids
+            pids = pids[pids >= 0]
+            nsafe = int((rec.track_len[pids] > 2).sum()) if len(pids) else 0
+            if nsafe < self.conf.nsafe_threshold:
+                risky_imids.append(imid)
+        expanded = []
+        for imid in risky_imids:
+            expanded.extend(rec.find_local_bundle_ids(imid, self.conf.new_retry_nbatch))
+        ignore = set(risky_imids) | set(expanded)
+        out = 0
+        for imid in rec.reg_image_ids():
+            if imid in ignore:
+                continue
+            self._triangulate_image_core(imid)
+        # lift all surviving low-parallax points
+        p3ds = rec.point_ids()
+        if len(p3ds):
+            risky = rec.find_points3D_with_small_triangulation_angle(self.conf.retri_min_angle, p3ds)
+            for pid in p3ds[risky]:
+                self._lift_point(int(pid))
+        return out

@@ -1,0 +1,130 @@
+"""Pipeline driver: extraction -> correspondences -> mapping -> outputs.
+
+Port of the reference's ReconstructionManager + SimpleTest
+(mpsfm/sfm/reconstruction_manager.py, mpsfm/test/simple.py): builds the
+scene from a SimpleParser, runs the extraction facade, populates
+correspondences, attaches priors, runs the mapper, and writes
+COLMAP-format outputs + depths.h5.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from mpsfm_tpu.config import BaseClass, Config
+from mpsfm_tpu.datasets.simple import SimpleParser
+from mpsfm_tpu.extraction.base import Extraction
+from mpsfm_tpu.mapper import MpsfmMapper
+from mpsfm_tpu.scene.correspondences import Correspondences
+from mpsfm_tpu.scene.image_priors import ImagePriors
+from mpsfm_tpu.utils import colmap_io
+
+
+class ReconstructionManager(BaseClass):
+    default_conf = {
+        "extractors": {**Extraction.default_conf},
+        "mapper": {**MpsfmMapper.default_conf},
+        "correspondences": {},
+        "image_priors": {},
+        "use_priors": True,
+        "matches_mode": "sparse",
+        "verbose": 0,
+    }
+
+    def _propagate_conf(self):
+        self.conf.extractors["verbose"] = self.conf.verbose
+        self.conf.mapper["verbose"] = self.conf.verbose
+
+    def _init(self, scene_parser: SimpleParser, cache_dir, sfm_outputs_dir, models=None, extract=()):
+        self.scene_parser = scene_parser
+        self.cache_dir = Path(cache_dir)
+        self.sfm_outputs_dir = Path(sfm_outputs_dir)
+        self.extractor = Extraction(
+            self.conf.extractors, scene_parser, self.cache_dir, extract=extract, models=models
+        )
+
+    def __call__(self, extract_only=False):
+        # 1) extraction
+        pairs = self.extractor.extract_pairs()
+        self.extractor.extract_features()
+        self.extractor.extract_matches(pairs)
+        if self.conf.use_priors:
+            if "measured" in self.conf.matches_mode:
+                self.extractor.use_measured()
+            else:
+                self.extractor.extract_mono()
+        if extract_only:
+            return None, True
+
+        # 2) scene + correspondences
+        rec = self.scene_parser.build_reconstruction()
+        keypoints, matches, scores = self.extractor.load_correspondence_inputs(pairs)
+        corr = Correspondences(self.conf.correspondences, rec)
+        corr.populate(keypoints, matches, scores)
+
+        # 3) priors
+        if self.conf.use_priors:
+            for imid, im in rec.images.items():
+                mono = self.extractor.load_mono(im.name)
+                if mono is None:
+                    continue
+                depth_dict = {
+                    k: mono[k]
+                    for k in ("depth", "depth_variance", "depth2", "depth_variance2", "valid", "valid2")
+                    if k in mono
+                }
+                normals_dict = {
+                    k.replace("normals", "normals"): mono[k]
+                    for k in ("normals", "normals_variance", "normals2", "normals2_variance")
+                    if k in mono
+                }
+                if "normals" not in normals_dict:
+                    continue
+                # per-kp uncertainty of detected features
+                from mpsfm_tpu.utils.io import get_keypoints
+
+                _, unc = get_keypoints(self.extractor.paths["sfeats"], im.name, return_uncertainty=True)
+                im.kp_std = float(unc) if unc else 1.0
+                pri = ImagePriors(
+                    self.conf.image_priors, rec, imid, depth_dict=depth_dict, normals_dict=normals_dict
+                )
+                im.priors = pri
+                im.depth = pri.depth
+                im.normals = pri.normals
+
+        # 4) mapping
+        mapper = MpsfmMapper(self.conf.mapper, rec, corr)
+        rec, ok = mapper()
+        self.log(
+            f"Registered {rec.num_reg_images()}/{rec.num_images()} images, "
+            f"{rec.num_points3D()} points",
+            level=0,
+        )
+
+        # 5) outputs
+        out = self.sfm_outputs_dir
+        colmap_io.write_text(rec, out)
+        colmap_io.write_depths(rec, out / "depths.h5")
+        return rec, ok
+
+
+def reconstruct(
+    data_dir,
+    conf=None,
+    images_dir=None,
+    intrinsics_path=None,
+    cache_dir=None,
+    sfm_outputs_dir=None,
+    extract=(),
+    verbose=0,
+):
+    """One-call API mirroring reconstruct.py of the reference."""
+    data_dir = Path(data_dir)
+    parser = SimpleParser(data_dir, images_dir, intrinsics_path)
+    cache_dir = Path(cache_dir) if cache_dir else data_dir / "cache"
+    out_dir = Path(sfm_outputs_dir) if sfm_outputs_dir else data_dir / "sfm_outputs"
+    conf = Config.create({"verbose": verbose}).merged(conf or {})
+    manager = ReconstructionManager(conf, parser, cache_dir, out_dir, extract=extract)
+    return manager()

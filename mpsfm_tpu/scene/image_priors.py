@@ -1,0 +1,208 @@
+"""Per-image prior state + integration bridge.
+
+Binds Depth/Normals priors and the BiNI solver to an image in the
+reconstruction — the TPU equivalent of the reference's Image mixin
+(mpsfm/sfm/scene/image/base.py + integration.py): projecting the image's
+sparse 3D points into the integration grid, filtering low-parallax
+points, fetching z-variances from point covariances, running the solver,
+and propagating diag(H⁻¹) uncertainties back to per-keypoint depth
+variances.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from mpsfm_tpu.config import BaseClass, Config
+from mpsfm_tpu.integration.bini import (
+    BiniParams,
+    Integrator,
+    build_integration_inputs,
+    diag_inverse_at,
+)
+from mpsfm_tpu.scene.priors import Depth, Normals
+
+
+class ImagePriors(BaseClass):
+    """Attached to ImageRecord as `.priors`; `.depth`/`.normals` forwarded."""
+
+    default_conf = {
+        "depth": {},
+        "normals": {},
+        # integration conf (reference scene/image/base.py:30-55):
+        "max_iter": 10,
+        "tol": 5e-2,
+        "cg_max_iter": 1000,
+        "cg_tol": 1e-3,
+        "lambda1": 1.0,
+        "lambda2": 1.0,
+        "k": 1.0,
+        "depth_magnitude_multiplier": 1.0,
+        "normals_magnitude_multiplier": 1.0,
+        "downscale_factor": 2,
+        "downscaled": True,
+        "cov_cg_iters": 150,  # diag(H^-1) indicator solves need less accuracy
+        "scale_filter": True,
+        "scale_filter_factor": 1.5,
+        "robust_triangles": 2,
+        "verbose": 0,
+    }
+
+    def _propagate_conf(self):
+        self.conf.depth = Config.create(Depth.default_conf).merged(self.conf.depth)
+        self.conf.normals = Config.create(Normals.default_conf).merged(self.conf.normals)
+
+    def _init(self, rec, imid, depth_dict, normals_dict, mask=None):
+        self.rec = rec
+        self.imid = imid
+        cam = rec.camera(imid)
+        int_hw = (cam.int_height, cam.int_width)
+        kps = rec.images[imid].keypoints
+        self.depth = Depth(self.conf.depth, depth_dict, int_hw, kps=kps, mask=mask)
+        self.depth.set_grid_scale(cam.sx, cam.sy)
+        self.normals = Normals(
+            self.conf.normals,
+            normals_dict,
+            int_hw,
+            mask=mask,
+            continuity_mask=self.depth.continuity_mask,
+        )
+        self.integrator = Integrator(
+            BiniParams(
+                lambda1=float(self.conf.lambda1),
+                lambda2=float(self.conf.lambda2),
+                k=float(self.conf.k),
+                max_iter=int(self.conf.max_iter),
+                cg_max_iter=int(self.conf.cg_max_iter),
+                cg_tol=float(self.conf.cg_tol),
+                tol=float(self.conf.tol),
+            )
+        )
+        self._last_inputs = None
+
+    # --- sparse anchors (reference _prepare_integration_variables :92-131) ---
+    def _sparse_anchors(self):
+        rec = self.rec
+        imid = self.imid
+        cam = rec.camera(imid)
+        kp_ids, pids, kps_px, depth3d, ok = rec.project_image_3d_points(imid)
+        if not ok or pids is None or len(pids) == 0:
+            return None
+        pids = np.asarray(pids)
+        if self.conf.robust_triangles is not None:
+            safe = ~rec.find_points3D_with_small_triangulation_angle(
+                self.conf.robust_triangles, pids
+            )
+            pids, kps_px, depth3d = pids[safe], kps_px[safe], depth3d[safe]
+        if len(pids) == 0:
+            return None
+        grid_px = kps_px * np.array([cam.sx, cam.sy])
+        H, W = cam.int_height, cam.int_width
+        inb = (
+            (grid_px[:, 0] >= 0)
+            & (grid_px[:, 0] < W)
+            & (grid_px[:, 1] >= 0)
+            & (grid_px[:, 1] < H)
+        )
+        pids, grid_px, depth3d = pids[inb], grid_px[inb], depth3d[inb]
+        if len(pids) == 0:
+            return None
+        zvars = self._point_zvars(pids)
+        return grid_px, depth3d, zvars
+
+    def _point_zvars(self, pids):
+        """z-variance of points in this camera: (Rᵀ Σ R)[2,2]
+        (reference scene/pointcov.py:10-20)."""
+        rec = self.rec
+        R = rec.images[self.imid].pose.rotation_matrix()
+        covs = np.stack(
+            [rec.point_covs.get(int(p), np.eye(3) * 1e-2) for p in pids]
+        )
+        return np.einsum("i,nij,j->n", R[2], covs, R[2]).clip(1e-12, None)
+
+    def _grid_K(self):
+        cam = self.rec.camera(self.imid)
+        return cam.fx * cam.sx, cam.fy * cam.sy, cam.cx * cam.sx, cam.cy * cam.sy
+
+    def build_inputs(self, downscale=1):
+        depth = self.depth
+        normals = self.normals
+        fx, fy, cx, cy = self._grid_K()
+        anchors = self._sparse_anchors()
+        kw = {}
+        if anchors is not None:
+            px, d3, zv = anchors
+            kw = dict(sparse_px=px / downscale, sparse_depth=d3, sparse_zvar=zv)
+        if downscale > 1:
+            from mpsfm_tpu.utils.interp import resize_bilinear
+
+            H, W = depth.data_prior.shape
+            hw = (int(H // downscale), int(W // downscale))
+            dp = resize_bilinear(depth.data_prior, hw)
+            du = resize_bilinear(depth.uncertainty, hw)
+            vm = resize_bilinear(depth.valid.astype(np.float64), hw) > 0.5
+            nm = normals.data_downscaled
+            nc = normals.uncertainty_downscaled
+            z_init = resize_bilinear(
+                depth.data if (depth.activated and depth.data is not None) else depth.data_prior, hw
+            )
+            return build_integration_inputs(
+                dp, du, vm, nm, nc, fx / downscale, fy / downscale, cx / downscale, cy / downscale,
+                z_init=z_init,
+                scale_filter=self.conf.scale_filter,
+                scale_filter_factor=self.conf.scale_filter_factor,
+                depth_magnitude_multiplier=self.conf.depth_magnitude_multiplier,
+                normals_magnitude_multiplier=self.conf.normals_magnitude_multiplier,
+                **kw,
+            )
+        z_init = depth.data if (depth.activated and depth.data is not None) else depth.data_prior
+        return build_integration_inputs(
+            depth.data_prior, depth.uncertainty, depth.valid, normals.data,
+            normals.uncertainty, fx, fy, cx, cy,
+            z_init=z_init,
+            scale_filter=self.conf.scale_filter,
+            scale_filter_factor=self.conf.scale_filter_factor,
+            depth_magnitude_multiplier=self.conf.depth_magnitude_multiplier,
+            normals_magnitude_multiplier=self.conf.normals_magnitude_multiplier,
+            **kw,
+        )
+
+    def integrate(self, **kw):
+        """Refine the working depth map. Returns True when changed
+        (reference Image.integrate, integration.py:133-137)."""
+        assert self.rec.images[self.imid].registered and self.depth.activated
+        inputs = self.build_inputs()
+        self._last_inputs = inputs
+        depth_new, changed = self.integrator.integrate(inputs)
+        if changed and depth_new is not None:
+            self.depth.data = depth_new
+        return changed
+
+    def calculate_int_covs_at_kps(self, pts2d=None):
+        """Propagate diag(H⁻¹) to per-keypoint depth variances
+        (reference calculate_int_covs_at_kps, integration.py:604-616)."""
+        rec = self.rec
+        cam = rec.camera(self.imid)
+        kps = rec.images[self.imid].keypoints
+        if pts2d is None:
+            pts2d = np.arange(len(kps))
+        kps_sel = kps[pts2d]
+        ds = self.conf.downscale_factor if self.conf.downscaled else 1
+        inputs = self.build_inputs(downscale=ds)
+        z = inputs.z0
+        params = self.integrator.params._replace(cg_max_iter=int(self.conf.cov_cg_iters))
+        gx = np.clip(
+            np.round(kps_sel[:, 0] * cam.sx / ds).astype(np.int32), 0, inputs.z0.shape[1] - 1
+        )
+        gy = np.clip(
+            np.round(kps_sel[:, 1] * cam.sy / ds).astype(np.int32), 0, inputs.z0.shape[0] - 1
+        )
+        varlog = np.asarray(
+            diag_inverse_at(inputs, params, z, jnp.asarray(gy), jnp.asarray(gx))
+        )
+        d_prior = self.depth.data_prior_at_kps(kps_sel)
+        var = varlog * d_prior**2  # var(log d) -> var(d)
+        for kp, v in zip(np.asarray(pts2d), var):
+            self.depth.uncertainty_update[int(kp)] = float(max(v, 1e-12))
+        return var

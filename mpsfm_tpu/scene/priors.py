@@ -137,11 +137,11 @@ class Depth(BaseClass):
         self.activated = False
         self.data = None  # refined/working depth (activated copies prior)
         self.kps = kps
+        self._grid_scale = (1.0, 1.0)  # (sx, sy) image->grid, set by owner
         # Per-keypoint uncertainty store (updated by integration covs).
         self.uncertainty_update = (
             self.uncertainty_at_kps(kps) if kps is not None else None
         )
-        self._grid_scale = (1.0, 1.0)  # (sx, sy) image->grid, set by owner
 
     def set_grid_scale(self, sx, sy):
         self._grid_scale = (sx, sy)
@@ -166,14 +166,18 @@ class Depth(BaseClass):
             self.activated = True
             self.data = self.data_prior.copy()
 
-    def rescale(self, shift, scale):
-        """Rescale the prior (reference mixins/depth_utils.py:60-66)."""
+    def rescale(self, shift, scale, rescale_working=False):
+        """Rescale the prior (reference mixins/depth_utils.py:60-66);
+        rescale_working also scales the refined map (normalize_depths path,
+        :93)."""
         self.data_prior = self.data_prior * scale + shift
         self.scale *= scale
         self.shift = self.shift * scale + shift
         self.uncertainty = self.uncertainty * scale**2
         if self.uncertainty_update is not None:
             self.uncertainty_update = self.uncertainty_update * scale**2
+        if rescale_working and self.activated and self.data is not None:
+            self.data = self.data * scale + shift
 
     def reset(self):
         """Undo alignment; deactivate (reference depth.py:132-140)."""

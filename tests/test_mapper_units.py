@@ -1,0 +1,147 @@
+import numpy as np
+import pytest
+
+from mpsfm_tpu.mapper.depth_consistency import DepthConsistencyChecker
+from mpsfm_tpu.mapper.triangulator import Triangulator
+from mpsfm_tpu.scene.corrgraph import CorrespondenceGraph
+from mpsfm_tpu.utils.colmap_io import read_text, write_text
+
+from synthetic import PlaneScene
+from test_ba import make_synthetic_rec
+
+
+def test_triangulator_creates_and_completes(rng):
+    rec, gt = make_synthetic_rec(rng, n_cams=4, n_pts=60, noise_px=0.3, pose_noise=0.0)
+    # wipe points, keep keypoints; build a corr graph from GT identity
+    for pid in list(rec.point_ids()):
+        rec.delete_point3D(int(pid))
+    cg = CorrespondenceGraph()
+    for i in range(4):
+        cg.add_image(i, 60)
+    for i in range(4):
+        for j in range(i + 1, 4):
+            m = np.stack([np.arange(60)] * 2, -1)
+            cg.add_correspondences(i, j, m)
+    cg.finalize()
+    tri = Triangulator({"min_angle": 0.5}, rec, cg)
+    tri.triangulate_image(0)
+    n1 = rec.num_points3D()
+    assert n1 > 40
+    # tracks should span all registered images via the correspondences
+    lens = rec.track_len[rec.point_ids()]
+    assert lens.mean() > 3.0
+    kp_of = np.array([rec.tracks[p][0][1] for p in rec.point_ids()])
+    err = np.linalg.norm(rec.xyz[rec.point_ids()] - gt["pts"][kp_of], axis=1)
+    assert np.median(err) < 0.05
+
+    # merge/complete are no-ops on a consistent reconstruction
+    assert tri.complete_and_merge_all_tracks() == 0
+
+
+def test_triangulator_lift_low_parallax(rng):
+    rec, gt = make_synthetic_rec(rng, n_cams=2, n_pts=40, noise_px=0.0, pose_noise=0.0)
+    # small baseline => points create at <1.5 deg parallax and get lifted
+    rec.images[1].pose = rec.images[0].pose.copy()
+    rec.images[1].pose.t = rec.images[1].pose.t + np.array([0.02, 0, 0])
+    cam = rec.cameras[1]
+    p_cam = rec.images[1].pose.transform(gt["pts"])
+    rec.images[1].keypoints = cam.img_from_cam(p_cam[:, :2] / p_cam[:, 2:3])
+    for pid in list(rec.point_ids()):
+        rec.delete_point3D(int(pid))
+    cg = CorrespondenceGraph()
+    cg.add_image(0, 40)
+    cg.add_image(1, 40)
+    cg.add_correspondences(0, 1, np.stack([np.arange(40)] * 2, -1))
+    cg.finalize()
+
+    class D:
+        activated = True
+
+        def __init__(self, rec):
+            self.rec = rec
+
+        def valid_at_kps(self, xy):
+            return np.ones(len(xy), bool)
+
+        def data_at_kps(self, xy):
+            # true depth of the GT point nearest to the kp
+            cam = self.rec.camera(0)
+            xyn = cam.cam_from_img(xy)
+            d = []
+            for p in gt["pts"]:
+                pass
+            # all points at their GT depth via lookup by kp identity:
+            return np.array([5.0] * len(xy))
+
+    # depth-lifting needs plausible depth; use GT z of each kp index
+    class D2(D):
+        def __init__(self, rec, imid):
+            super().__init__(rec)
+            self.imid = imid
+
+        def data_at_kps(self, xy):
+            im = self.rec.images[self.imid]
+            idx = [int(np.argmin(np.linalg.norm(im.keypoints - p, axis=1))) for p in xy]
+            p_cam = self.rec.images[self.imid].pose.transform(gt["pts"][idx])
+            return p_cam[:, 2]
+
+    rec.images[0].depth = D2(rec, 0)
+    rec.images[1].depth = D2(rec, 1)
+    tri = Triangulator({}, rec, cg)
+    tri.triangulate_image(0)
+    assert rec.num_points3D() > 20
+    # lifted points should sit near GT
+    kp_of = np.array([rec.tracks[p][0][1] for p in rec.point_ids()])
+    err = np.linalg.norm(rec.xyz[rec.point_ids()] - gt["pts"][kp_of], axis=1)
+    assert np.median(err) < 0.05
+
+
+def make_dc_rec(rng, shift=0.0):
+    """Two views of the analytic plane with exact depth maps (+optional
+    corruption of view 2's depth)."""
+    scene = PlaneScene(rng=rng, n_images=2, n_points=10, img_wh=(64, 48), focal=60.0)
+    rec, kps, matches, gt = scene.build(with_priors=True)
+    for i in (0, 1):
+        rec.images[i].registered = True
+        rec.images[i].pose = gt["poses"][i]
+    if shift:
+        d = rec.images[1].depth
+        d.data_prior = d.data_prior + shift
+    return rec
+
+
+def test_depth_consistency_accepts_consistent(rng):
+    rec = make_dc_rec(rng)
+    dc = DepthConsistencyChecker({}, rec)
+    score = dc.check_bundle_depth_consistency(0, {"optim_ids": {0, 1}})
+    assert score < 0.15, score
+
+
+def test_depth_consistency_rejects_corrupted(rng):
+    rec = make_dc_rec(rng, shift=1.5)  # gross depth offset in view 2
+    dc = DepthConsistencyChecker({}, rec)
+    score = dc.check_bundle_depth_consistency(0, {"optim_ids": {0, 1}})
+    assert score > 0.15, score
+
+
+def test_dc_relax_ladder(rng):
+    rec = make_dc_rec(rng)
+    dc = DepthConsistencyChecker({}, rec)
+    t0 = dc.depth_cons_thresh
+    dc.relax_thresholds()
+    assert dc.depth_cons_thresh == pytest.approx(t0 * 1.3)
+    assert dc.cons_thresh_times_increased == 1
+    dc.at_registration_success()
+    assert dc.depth_cons_thresh == t0
+    assert dc.cons_thresh_times_increased == 0
+
+
+def test_colmap_io_roundtrip(tmp_path, rng):
+    rec, gt = make_synthetic_rec(rng, n_cams=3, n_pts=30, noise_px=0.0, pose_noise=0.0)
+    write_text(rec, tmp_path)
+    rec2 = read_text(tmp_path)
+    assert len(rec2.registered_images) == 3
+    for i in range(3):
+        np.testing.assert_allclose(rec2.images[i].pose.q, rec.images[i].pose.q, atol=1e-9)
+        np.testing.assert_allclose(rec2.images[i].pose.t, rec.images[i].pose.t, atol=1e-9)
+    assert rec2.cameras[1].fx == rec.cameras[1].fx

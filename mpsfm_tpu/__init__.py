@@ -29,3 +29,18 @@ import jax as _jax
 # accumulation the package default — NN inference modules opt back into
 # bf16 explicitly via jax.default_matmul_precision where it matters.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the incremental mapper compiles one
+# program per shape bucket; caching across processes turns the multi-
+# minute first-run compile tax into a one-time cost.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "MPSFM_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/mpsfm_tpu/jax")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover — cache is best-effort
+    pass

@@ -107,6 +107,10 @@ class ReconstructionManager(BaseClass):
         out = self.sfm_outputs_dir
         colmap_io.write_text(rec, out)
         colmap_io.write_depths(rec, out / "depths.h5")
+        if self.conf.verbose >= 1:
+            from mpsfm_tpu.utils.viz import write_scene_html
+
+            write_scene_html(rec, out / "3d.html")
         return rec, ok
 
 

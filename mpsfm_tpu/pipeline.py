@@ -47,9 +47,13 @@ class ReconstructionManager(BaseClass):
 
     def __call__(self, extract_only=False):
         # 1) extraction
+        self.extractor.conf["matches_mode"] = self.conf.matches_mode
         pairs = self.extractor.extract_pairs()
         self.extractor.extract_features()
-        self.extractor.extract_matches(pairs)
+        if "sparse" in self.conf.matches_mode:
+            self.extractor.extract_matches(pairs)
+        if "dense" in self.conf.matches_mode:
+            self.extractor.extract_dense_matches(pairs)
         if self.conf.use_priors:
             if "measured" in self.conf.matches_mode:
                 self.extractor.use_measured()

@@ -19,6 +19,11 @@ def main():
         help="artifact classes to force re-extraction: f(eatures) m(atches) d(epth) p(airs)",
     )
     ap.add_argument("--verbose", type=int, default=0)
+    ap.add_argument(
+        "--refrec_dir",
+        default=None,
+        help="COLMAP-format reference reconstruction; prints ATE after mapping",
+    )
     args = ap.parse_args()
 
     conf = {}
@@ -43,6 +48,15 @@ def main():
         verbose=args.verbose,
     )
     print(f"success={ok} registered={rec.num_reg_images()}/{rec.num_images()} points={rec.num_points3D()}")
+    if args.refrec_dir:
+        import json
+
+        from mpsfm_tpu.eval import ate_between
+        from mpsfm_tpu.utils.colmap_io import read_text
+
+        metrics = ate_between(rec, read_text(args.refrec_dir))
+        metrics.pop("per_image", None)
+        print("ATE vs reference:", json.dumps(metrics))
 
 
 if __name__ == "__main__":

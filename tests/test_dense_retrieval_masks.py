@@ -1,0 +1,93 @@
+import numpy as np
+import pytest
+
+from mpsfm_tpu.extraction.masks import SkyMask, sky_mask_heuristic
+from mpsfm_tpu.extraction.matchers.dense_ncc import DenseNCCMatcher
+from mpsfm_tpu.extraction.retrieval import NetVLAD
+
+
+def test_dense_ncc_recovers_translation(rng):
+    import cv2
+
+    base = rng.uniform(0, 1, (40, 50)).astype(np.float32)
+    imgA = cv2.resize(base, (256, 192), interpolation=cv2.INTER_CUBIC)
+    shift = 10
+    imgB = np.roll(imgA, shift, axis=1)
+    out = DenseNCCMatcher({"certainty_threshold": 0.6})(imgA, imgB)
+    assert len(out["certainty"]) > 100
+    flow = out["keypoints1"] - out["keypoints0"]
+    good = (np.abs(flow[:, 0] - shift) < 2) & (np.abs(flow[:, 1]) < 2)
+    assert good.mean() > 0.8, good.mean()
+
+
+def test_dense_ncc_rejects_unrelated(rng):
+    imgA = rng.uniform(0, 1, (128, 160)).astype(np.float32)
+    imgB = rng.uniform(0, 1, (128, 160)).astype(np.float32)
+    out = DenseNCCMatcher({"certainty_threshold": 0.6})(imgA, imgB)
+    # forward-backward check should kill most random matches
+    assert len(out["certainty"]) < 60
+
+
+def test_netvlad_random_weights_shapes(rng):
+    nv = NetVLAD({"resize_max": 64})
+    nv.init_random()
+    img = (rng.uniform(0, 255, (60, 80, 3))).astype(np.uint8)
+    d = nv(img)
+    assert d.shape == (64 * 512,)
+    np.testing.assert_allclose(np.linalg.norm(d), 1.0, atol=1e-4)
+    # similar images -> similar descriptors
+    d2 = nv((img.astype(np.float32) + 4).clip(0, 255).astype(np.uint8))
+    d3 = nv((rng.uniform(0, 255, (60, 80, 3))).astype(np.uint8))
+    assert d @ d2 > d @ d3
+
+
+def test_sky_mask_heuristic():
+    img = np.zeros((80, 100, 3), np.float32)
+    img[:30] = [0.55, 0.65, 0.95]  # bright blue sky on top
+    rngl = np.random.default_rng(0)
+    img[30:] = rngl.uniform(0, 0.5, (50, 100, 3))  # textured ground
+    mask = sky_mask_heuristic(img)
+    assert mask[50:].mean() > 0.9  # ground valid
+    assert mask[:25].mean() < 0.3  # sky masked
+    sm = SkyMask()
+    assert sm(img).shape == (80, 100)
+
+
+def test_dense_mode_pipeline_merge(tmp_path, rng):
+    """sparse+dense mode: dense grid kps appended with offsets."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from synthetic import PlaneScene, render_scene_dir
+
+    from mpsfm_tpu.datasets.simple import SimpleParser
+    from mpsfm_tpu.extraction.base import Extraction
+
+    scene = PlaneScene(rng=rng, n_images=2, n_points=0, img_wh=(160, 120), focal=130.0)
+    data_dir = render_scene_dir(scene, tmp_path / "s", rng=rng)
+    parser = SimpleParser(data_dir)
+    ex = Extraction(
+        {
+            "features": "classical",
+            "matcher": "nn",
+            "matches_mode": "sparse+dense",
+            "feature_conf": {"max_keypoints": 256},
+            "dense_matcher_conf": {"certainty_threshold": 0.5},
+            "resize_max": 0,
+        },
+        parser,
+        tmp_path / "cache",
+    )
+    pairs = ex.extract_pairs()
+    ex.extract_features()
+    ex.extract_matches(pairs)
+    ex.extract_dense_matches(pairs)
+    kps, matches, scores = ex.load_correspondence_inputs(pairs)
+    name0, name1 = pairs[0]
+    m = matches[(name0, name1)]
+    assert len(m) > 100
+    # dense indices extend beyond the sparse keypoint count
+    n_sparse0 = 256
+    assert m[:, 0].max() >= n_sparse0 or len(kps[name0]) > n_sparse0
+    assert m[:, 0].max() < len(kps[name0])
+    assert m[:, 1].max() < len(kps[name1])

@@ -144,22 +144,28 @@ class DepthConsistencyChecker(BaseClass):
             var_d = np.asarray(rec.images[dst_id].depth.uncertainty, np.float64).copy()
             var_d /= rec.images[dst_id].depth.conf.prior_std_multiplier**2
             ys, xs = np.where(won_src)
-            # z-variance of the lifted source pixel rotated into dst frame:
-            # dominated by the depth variance term; use σ_z² ≈ var_s (the
-            # rotation mixes in lateral terms; the reference's full J Σ Jᵀ
-            # chain is approximated by its depth component here).
-            R12 = (rec.images[dst_id].pose.rotation_matrix() @ rec.images[src_id].pose.rotation_matrix().T)
-            w_z = R12[2] ** 2  # how much src (x,y,z) variance lands on dst z
+            # Exact z-variance of the lifted source pixel in the dst frame
+            # (reference lifted_pointcovs_cam + rotate chain,
+            # points3D_utils.py:31-60): with lifted cov
+            #   Σ = var_d·(∂p/∂d)(∂p/∂d)ᵀ + σ_q²·(∂p/∂q)(∂p/∂q)ᵀ,
+            # the rotated z-variance is r₂ᵀ Σ r₂ with r₂ the third row of
+            # R_dst R_srcᵀ — closed form below.
+            R12 = (
+                rec.images[dst_id].pose.rotation_matrix()
+                @ rec.images[src_id].pose.rotation_matrix().T
+            )
+            r2 = R12[2]
             cam = rec.camera(src_id)
             fx = cam.fx * cam.sx
             fy = cam.fy * cam.sy
             cx = cam.cx * cam.sx
             cy = cam.cy * cam.sy
             dd = d_src[ys, xs]
-            sx2 = var_s[ys, xs] * ((xs - cx) / fx) ** 2 + (dd / fx) ** 2
-            sy2 = var_s[ys, xs] * ((ys - cy) / fy) ** 2 + (dd / fy) ** 2
-            sz2 = var_s[ys, xs]
-            zbar_var = w_z[0] * sx2 + w_z[1] * sy2 + w_z[2] * sz2
+            sigma_q = 1.0  # px (reference default)
+            dpdd = r2[0] * (xs - cx) / fx + r2[1] * (ys - cy) / fy + r2[2]
+            zbar_var = var_s[ys, xs] * dpdd**2 + sigma_q**2 * (
+                (r2[0] * dd / fx) ** 2 + (r2[1] * dd / fy) ** 2
+            )
             u = np.clip(p_src[ys, xs, 0].astype(int), 0, d_dst.shape[1] - 1)
             v = np.clip(p_src[ys, xs, 1].astype(int), 0, d_dst.shape[0] - 1)
             t = buf_src[v, u] - d_dst[v, u]

@@ -128,6 +128,46 @@ def write_mono_map(path, name, data: dict):
             grp.create_dataset(k, data=np.asarray(v))
 
 
+def get_mono_map_from_pairs(path, name, pairs):
+    """Per-pair two-view depth cache (MASt3R 'depth' mode): each pair group
+    holds a depth/valid/variance triplet per image; pick the pair with the
+    best mean confidence (reference utils/io.py:17-42)."""
+    cname = str(Path(name).name)
+    best = None
+    best_score = -np.inf
+    with h5py.File(str(path), "r") as f:
+        for pair in pairs:
+            if cname not in pair:
+                continue
+            key = f"{names_to_pair(*pair)}/{cname}"
+            if key not in f:
+                continue
+            g = f[key]
+            depth = g["depth"][:]
+            valid = g["valid"][:]
+            var = g["variance"][:]
+            score = float((1.0 / var[valid]).mean()) if valid.any() else -np.inf
+            if score > best_score:
+                best_score = score
+                best = {"depth": depth, "valid": valid, "depth_variance": var}
+    return best
+
+
+def write_pair_mono_map(path, name0, name1, per_image: dict):
+    """per_image: image name -> {depth, valid, variance}."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(str(path), "a") as f:
+        base = names_to_pair(name0, name1)
+        for img_name, data in per_image.items():
+            key = f"{base}/{str(Path(img_name).name)}"
+            if key in f:
+                del f[key]
+            grp = f.create_group(key)
+            for k, v in data.items():
+                grp.create_dataset(k, data=np.asarray(v))
+
+
 def get_mono_map(path, name):
     with h5py.File(str(path), "r") as f:
         key = str(Path(name).name)

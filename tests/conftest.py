@@ -19,6 +19,13 @@ import jax  # noqa: E402
 # initialized so tests run on the 8-device virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# The package enables a persistent compilation cache (for TPU compile
+# amortization); with the CPU backend + hundreds of test programs the
+# cache serialization has produced segfaults — disable it for tests.
+import mpsfm_tpu  # noqa: E402,F401
+
+jax.config.update("jax_compilation_cache_dir", None)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -134,3 +134,18 @@ def test_h5_io_roundtrip(tmp_path):
     assert io.get_mono_map(tmp_path / "d.h5", "a.jpg")["depth"].shape == (4, 5)
     io.write_pairs(tmp_path / "p.txt", [("a", "b"), ("b", "c")])
     assert io.read_pairs(tmp_path / "p.txt") == [("a", "b"), ("b", "c")]
+
+
+def test_pair_mono_map_best_selection(tmp_path):
+    import numpy as np
+
+    d = np.ones((6, 8))
+    good = {"depth": d, "valid": np.ones_like(d, bool), "variance": d * 0.01}
+    bad = {"depth": d * 2, "valid": np.ones_like(d, bool), "variance": d * 1.0}
+    io.write_pair_mono_map(tmp_path / "pd.h5", "a.jpg", "b.jpg", {"a.jpg": bad})
+    io.write_pair_mono_map(tmp_path / "pd.h5", "a.jpg", "c.jpg", {"a.jpg": good})
+    out = io.get_mono_map_from_pairs(
+        tmp_path / "pd.h5", "a.jpg", [("a.jpg", "b.jpg"), ("a.jpg", "c.jpg")]
+    )
+    assert out["depth"][0, 0] == 1.0  # picked the low-variance pair
+    assert io.get_mono_map_from_pairs(tmp_path / "pd.h5", "zzz.jpg", [("a.jpg", "b.jpg")]) is None

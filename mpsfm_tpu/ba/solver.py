@@ -175,6 +175,38 @@ def _rotmat_cols(quat):
     )
 
 
+def _cost_only(data: BAData, quat, t, xyz, reproj_loss: int, depth_loss: int):
+    """Residuals + robust cost without Jacobians (trial-step evaluation:
+    roughly half the assembly work of _assemble)."""
+    quat = quat_normalize(quat)
+    No = data.r_cam.shape[0]
+    Nd = data.d_cam.shape[0]
+    R = _rotmat_cols(quat)
+
+    Re = [_cam_expand_last(r, No) for r in R]
+    te = [_cam_expand_last(t[:, k], No) for k in range(3)]
+    X = xyz[data.r_pt]
+    px = Re[0] * X[:, 0] + Re[1] * X[:, 1] + Re[2] * X[:, 2] + te[0]
+    py = Re[3] * X[:, 0] + Re[4] * X[:, 1] + Re[5] * X[:, 2] + te[1]
+    pz = Re[6] * X[:, 0] + Re[7] * X[:, 1] + Re[8] * X[:, 2] + te[2]
+    inv_z = 1.0 / jnp.where(jnp.abs(pz) < 1e-8, 1e-8, pz)
+    fxe = _cam_expand_last(data.fx, No)
+    fye = _cam_expand_last(data.fy, No)
+    ru = fxe * px * inv_z + _cam_expand_last(data.cx, No) - data.r_uv[:, 0]
+    rv = fye * py * inv_z + _cam_expand_last(data.cy, No) - data.r_uv[:, 1]
+    s_r = ru * ru + rv * rv
+    cost = (data.r_mag * losses.rho(reproj_loss, s_r, data.r_scale) * data.r_valid).sum()
+
+    Re_d = [_cam_expand_last(r, Nd) for r in R]
+    te_d = [_cam_expand_last(t[:, k], Nd) for k in range(3)]
+    Xd = xyz[data.d_pt]
+    pzd = Re_d[6] * Xd[:, 0] + Re_d[7] * Xd[:, 1] + Re_d[8] * Xd[:, 2] + te_d[2]
+    d_res = jnp.log(jnp.maximum(pzd, 1e-8)) - data.d_logtarget
+    s_d = d_res * d_res
+    cost += (data.d_mag * losses.rho(depth_loss, s_d, data.d_scale) * data.d_valid).sum()
+    return cost
+
+
 def _assemble(data: BAData, quat, t, xyz, reproj_loss: int, depth_loss: int):
     """Residuals, IRLS weights, analytic Jacobians, and the total cost.
 
@@ -490,13 +522,18 @@ def solve_ba(
     dtype = data.xyz.dtype
 
     def cost_of(quat, t, xyz):
-        return _assemble(data, quat, t, xyz, reproj_loss, depth_loss)["cost"]
+        return _cost_only(data, quat, t, xyz, reproj_loss, depth_loss)
+
+    def ne_of(quat, t, xyz):
+        asm = _assemble(data, quat, t, xyz, reproj_loss, depth_loss)
+        return _normal_equations(data, asm, C, P)
 
     def step(carry, _):
-        quat, t, xyz, lam, cost, done, accepted = carry
-
-        asm = _assemble(data, quat, t, xyz, reproj_loss, depth_loss)
-        Hcc, Hpp, W_r, W_d, g_c, g_p = _normal_equations(data, asm, C, P)
+        quat, t, xyz, lam, cost, done, accepted, ne = carry
+        # ne holds the normal-equation products at the CURRENT state; they
+        # are lambda-independent, so rejected steps reuse them and only the
+        # (cheap) augmented solve + residual-only trial cost re-runs.
+        Hcc, Hpp, W_r, W_d, g_c, g_p = ne
 
         # LM augmentation (Marquardt scaling) + identity rows for frozen dims.
         dc = jnp.einsum("cii->ci", Hcc)
@@ -549,11 +586,21 @@ def solve_ba(
         done = done | (improved & (rel < rel_tol))
         cost = jnp.where(take, new_cost, cost)
         accepted = accepted + take.astype(jnp.int32)
-        return (quat, t, xyz, lam, cost, done, accepted), (cost, cg_used)
+        ne = jax.lax.cond(take, lambda: ne_of(quat, t, xyz), lambda: ne)
+        return (quat, t, xyz, lam, cost, done, accepted, ne), (cost, cg_used)
 
     cost0 = cost_of(data.quat, data.t, data.xyz)
-    init = (data.quat, data.t, data.xyz, jnp.asarray(lm_lambda0, dtype), cost0, jnp.asarray(False), jnp.asarray(0, jnp.int32))
-    (quat, t, xyz, lam, cost, done, accepted), (cost_hist, cg_hist) = jax.lax.scan(
+    init = (
+        data.quat,
+        data.t,
+        data.xyz,
+        jnp.asarray(lm_lambda0, dtype),
+        cost0,
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+        ne_of(data.quat, data.t, data.xyz),
+    )
+    (quat, t, xyz, lam, cost, done, accepted, _ne), (cost_hist, cg_hist) = jax.lax.scan(
         step, init, None, length=max_iters
     )
     info = {

@@ -49,20 +49,134 @@ class ImageSelection(BaseClass):
         return proposals
 
     def rank_image(self, imid):
-        """MAX_MATCHER_INLIER_SCORES (reference :134-148)."""
+        method = self.conf.image_selection_method
+        fn = {
+            "MAX_MATCHER_INLIER_SCORES": self._rank_max_inlier_scores,
+            "MAX_NUM_INLIER_SCORES_TOT": self._rank_inlier_scores_tot,
+            "MAX_VISIBLE_POINTS_NUM": self._rank_visible_points_num,
+            "MAX_VISIBLE_POINTS_RATIO": self._rank_visible_points_ratio,
+            "MIN_UNCERTAINTY": self._rank_visibility_score,
+            "MAX_NUM_CORRESPONDENCES": self._rank_num_correspondences,
+            "MAX_NUM_INLIER_CORRESPONDENCES": self._rank_inlier_correspondences,
+            "MAX_NUM_INLIER_CORRESPONDENCES_TOT": self._rank_inlier_correspondences_tot,
+        }.get(method)
+        if fn is None:
+            raise ValueError(f"Unknown image selection method {method}")
+        return fn(imid)
+
+    def _per_ref_scores(self, imid):
         rec = self.rec
-        best_score, best_ref, total = 0.0, None, 0.0
         im = rec.images[imid]
+        out = []
         for ref_id in rec.registered_images:
             s = self.corr.inlier_match_score(imid, ref_id)
             if ref_id in im.ignore_matches_AP:
                 mask = im.ignore_matches_AP[ref_id]
                 if mask.sum() > 0:
                     s *= (~mask).sum() / mask.sum()
-            total += s
-            if s > best_score:
-                best_score, best_ref = s, ref_id
-        return {"score": best_score, "refid": best_ref}
+            out.append((ref_id, s))
+        return out
+
+    def _rank_max_inlier_scores(self, imid):
+        """MAX_MATCHER_INLIER_SCORES (reference :134-148) — default."""
+        scores = self._per_ref_scores(imid)
+        if not scores:
+            return {"score": 0.0, "refid": None}
+        best_ref, best = max(scores, key=lambda rs: rs[1])
+        return {"score": best, "refid": best_ref}
+
+    def _rank_inlier_scores_tot(self, imid):
+        """Sum of inlier scores over all registered refs (reference :122-132)."""
+        scores = self._per_ref_scores(imid)
+        if not scores:
+            return {"score": 0.0, "refid": None}
+        best_ref, _ = max(scores, key=lambda rs: rs[1])
+        return {"score": sum(s for _, s in scores), "refid": best_ref}
+
+    def _visible_counts(self, imid):
+        """(#kps whose correspondences see a triangulated point, #kps with
+        any correspondence) — COLMAP num_visible_points3D analog."""
+        rec = self.rec
+        indptr, adj_im, adj_kp = self.corr.cg.correspondences_all(imid)
+        n_kp = len(rec.images[imid].keypoints)
+        visible = 0
+        observed = 0
+        reg = set(rec.reg_image_ids())
+        for kp in range(n_kp):
+            a, b = indptr[kp], indptr[kp + 1]
+            if a == b:
+                continue
+            observed += 1
+            for oim, okp in zip(adj_im[a:b], adj_kp[a:b]):
+                if int(oim) in reg and rec.images[int(oim)].point3D_ids[int(okp)] >= 0:
+                    visible += 1
+                    break
+        return visible, observed
+
+    def _rank_visible_points_num(self, imid):
+        v, _ = self._visible_counts(imid)
+        return {"score": float(v), "refid": self._rank_max_inlier_scores(imid)["refid"]}
+
+    def _rank_visible_points_ratio(self, imid):
+        v, o = self._visible_counts(imid)
+        return {"score": v / max(o, 1), "refid": self._rank_max_inlier_scores(imid)["refid"]}
+
+    def _rank_visibility_score(self, imid):
+        """COLMAP point3D_visibility_score analog: multi-level grid coverage
+        of visible points (finer levels weighted higher)."""
+        rec = self.rec
+        im = rec.images[imid]
+        cam = rec.camera(imid)
+        indptr, adj_im, adj_kp = self.corr.cg.correspondences_all(imid)
+        reg = set(rec.reg_image_ids())
+        vis_kps = []
+        for kp in range(len(im.keypoints)):
+            a, b = indptr[kp], indptr[kp + 1]
+            for oim, okp in zip(adj_im[a:b], adj_kp[a:b]):
+                if int(oim) in reg and rec.images[int(oim)].point3D_ids[int(okp)] >= 0:
+                    vis_kps.append(im.keypoints[kp])
+                    break
+        score = 0.0
+        if vis_kps:
+            pts = np.stack(vis_kps)
+            for level in range(1, 7):
+                n_cells = 2**level
+                gx = np.clip((pts[:, 0] / max(cam.width, 1) * n_cells).astype(int), 0, n_cells - 1)
+                gy = np.clip((pts[:, 1] / max(cam.height, 1) * n_cells).astype(int), 0, n_cells - 1)
+                filled = len(set(zip(gx.tolist(), gy.tolist())))
+                score += filled * n_cells * n_cells
+        return {"score": score, "refid": self._rank_max_inlier_scores(imid)["refid"]}
+
+    def _rank_num_correspondences(self, imid):
+        rec = self.rec
+        best_ref, best = None, 0
+        for ref_id in rec.registered_images:
+            n = self.corr.cg.num_correspondences_between_images(imid, ref_id)
+            if n > best:
+                best, best_ref = n, ref_id
+        return {"score": float(best), "refid": best_ref}
+
+    def _tvg_inliers(self, imid):
+        rec = self.rec
+        out = []
+        for ref_id in rec.registered_images:
+            tvg = self.corr.two_view_geom_by_ids(imid, ref_id)
+            out.append((ref_id, len(tvg.inlier_matches) if tvg is not None else 0))
+        return out
+
+    def _rank_inlier_correspondences(self, imid):
+        counts = self._tvg_inliers(imid)
+        if not counts:
+            return {"score": 0.0, "refid": None}
+        best_ref, best = max(counts, key=lambda rs: rs[1])
+        return {"score": float(best), "refid": best_ref}
+
+    def _rank_inlier_correspondences_tot(self, imid):
+        counts = self._tvg_inliers(imid)
+        if not counts:
+            return {"score": 0.0, "refid": None}
+        best_ref, _ = max(counts, key=lambda rs: rs[1])
+        return {"score": float(sum(c for _, c in counts)), "refid": best_ref}
 
     def next_image(self, qry_imids=None):
         rec = self.rec

@@ -223,6 +223,30 @@ class Extraction(BaseClass):
             self.log(f"dense {name0}-{name1}: {len(out['certainty'])}", level=2)
         return path
 
+    def extract_matches_dense_anchored(self, pairs):
+        """RoMa-sparse mode: dense flow assigned to detected sparse
+        keypoints (<=2px), written as a regular sparse match stream."""
+        from mpsfm_tpu.extraction.matchers.dense_ncc import assign_flow_to_keypoints
+
+        self.extract_dense_matches(pairs)
+        path = self.cache_dir / f"matches-{self.conf.dense_matcher}-anchored.h5"
+        import h5py
+
+        existing = set()
+        if path.exists() and "m" not in self.extract:
+            with h5py.File(path, "r") as f:
+                existing = set(f.keys())
+        for name0, name1 in pairs:
+            if io.names_to_pair(name0, name1) in existing:
+                continue
+            k0, k1, cert = self.load_dense_pair(name0, name1)
+            kpsA = io.get_keypoints(self.paths["sfeats"], name0)
+            kpsB = io.get_keypoints(self.paths["sfeats"], name1)
+            out = assign_flow_to_keypoints(k0, k1 - k0, cert, kpsA, kpsB)
+            io.write_matches(path, name0, name1, out["matches0"], out["matching_scores0"])
+        self.paths["smatches"] = path
+        return path
+
     def load_dense_pair(self, name0, name1):
         import h5py
 

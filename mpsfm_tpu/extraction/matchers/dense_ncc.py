@@ -98,6 +98,44 @@ def ncc_flow(imgA, imgB, stride: int = 8, patch: int = 7, levels: int = 3,
     return grid_xy, flow.astype(jnp.float32), certainty
 
 
+def assign_flow_to_keypoints(grid_xy, flow, certainty, kpsA, kpsB, max_dist=2.0, cert_thresh=0.5):
+    """RoMa-sparse-style anchoring (reference models/utils/warp.py:34-73):
+    interpolate the dense flow at detected keypoints of A, warp them into
+    B, and assign each to the nearest detected keypoint of B within
+    max_dist px (greedy dedup by certainty). Returns matches0 (NA,) into
+    kpsB (or -1) + scores."""
+    import scipy.spatial
+
+    NA = len(kpsA)
+    matches0 = np.full(NA, -1, np.int64)
+    scores0 = np.zeros(NA, np.float32)
+    if NA == 0 or len(kpsB) == 0 or len(grid_xy) == 0:
+        return {"matches0": matches0, "matching_scores0": scores0}
+    # interpolate flow + certainty at kpsA from the (scattered) grid
+    tree_g = scipy.spatial.cKDTree(grid_xy)
+    dist, idx = tree_g.query(kpsA, k=1)
+    ux = np.unique(grid_xy[:, 0])
+    stride = float(np.median(np.diff(ux))) if len(ux) > 1 else 8.0
+    ok = (dist < 1.5 * max(stride, 8.0)) & (certainty[idx] > cert_thresh)
+    warped = kpsA + flow[idx]
+    tree_b = scipy.spatial.cKDTree(kpsB)
+    db, jb = tree_b.query(warped, k=1)
+    ok &= db < max_dist
+    # greedy dedup: highest certainty keeps the target
+    order = np.argsort(-certainty[idx])
+    taken = set()
+    for i in order:
+        if not ok[i]:
+            continue
+        j = int(jb[i])
+        if j in taken:
+            continue
+        taken.add(j)
+        matches0[i] = j
+        scores0[i] = certainty[idx[i]]
+    return {"matches0": matches0, "matching_scores0": scores0}
+
+
 class DenseNCCMatcher:
     """Dense matcher interface: pair of grayscale images -> dense
     keypoints in both + matches + certainties (reference 'dense' mode)."""

@@ -51,7 +51,11 @@ class ReconstructionManager(BaseClass):
         pairs = self.extractor.extract_pairs()
         self.extractor.extract_features()
         if "sparse" in self.conf.matches_mode:
-            self.extractor.extract_matches(pairs)
+            if self.conf.extractors.matcher == "dense_anchor":
+                # RoMa-sparse mode: dense flow anchored at detected keypoints
+                self.extractor.extract_matches_dense_anchored(pairs)
+            else:
+                self.extractor.extract_matches(pairs)
         if "dense" in self.conf.matches_mode:
             self.extractor.extract_dense_matches(pairs)
         if self.conf.use_priors:

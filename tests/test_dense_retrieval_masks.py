@@ -91,3 +91,41 @@ def test_dense_mode_pipeline_merge(tmp_path, rng):
     assert m[:, 0].max() >= n_sparse0 or len(kps[name0]) > n_sparse0
     assert m[:, 0].max() < len(kps[name0])
     assert m[:, 1].max() < len(kps[name1])
+
+
+def test_dense_anchored_sparse_mode(tmp_path, rng):
+    """RoMa-sparse style: dense flow assigned to detected keypoints."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from synthetic import PlaneScene, render_scene_dir
+
+    from mpsfm_tpu.datasets.simple import SimpleParser
+    from mpsfm_tpu.extraction.base import Extraction
+    from mpsfm_tpu.utils import io as uio
+
+    scene = PlaneScene(rng=rng, n_images=2, n_points=0, img_wh=(160, 120), focal=130.0)
+    data_dir = render_scene_dir(scene, tmp_path / "s", rng=rng)
+    parser = SimpleParser(data_dir)
+    ex = Extraction(
+        {
+            "features": "classical",
+            "feature_conf": {"max_keypoints": 512},
+            "dense_matcher_conf": {"certainty_threshold": 0.45},
+            "resize_max": 0,
+        },
+        parser,
+        tmp_path / "cache",
+    )
+    pairs = ex.extract_pairs()
+    ex.extract_features()
+    path = ex.extract_matches_dense_anchored(pairs)
+    m, s = uio.get_matches(path, *pairs[0])
+    assert len(m) > 30
+    # anchored matches should be geometrically consistent (plane scene):
+    kps0 = uio.get_keypoints(ex.paths["sfeats"], pairs[0][0])
+    kps1 = uio.get_keypoints(ex.paths["sfeats"], pairs[0][1])
+    flow = kps1[m[:, 1]] - kps0[m[:, 0]]
+    med = np.median(flow, axis=0)
+    inl = (np.abs(flow - med) < 15).all(1)
+    assert inl.mean() > 0.6

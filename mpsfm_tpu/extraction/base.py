@@ -177,6 +177,11 @@ class Extraction(BaseClass):
                 feats[name] = (kps, desc)
             return feats[name]
 
+        from mpsfm_tpu.utils.workqueue import WorkQueue
+
+        writer = WorkQueue(
+            lambda item: io.write_matches(path, item[0], item[1], item[2], item[3])
+        )
         for name0, name1 in pairs:
             if io.names_to_pair(name0, name1) in existing:
                 continue
@@ -188,8 +193,9 @@ class Extraction(BaseClass):
                 out = matcher(kps0, desc0, sz0, kps1, desc1, sz1)
             else:
                 out = matcher(desc0, desc1)
-            io.write_matches(path, name0, name1, out["matches0"], out["matching_scores0"])
+            writer.put((name0, name1, out["matches0"], out["matching_scores0"]))
             self.log(f"matches {name0}-{name1}: {(out['matches0'] >= 0).sum()}", level=2)
+        writer.join()
         return path
 
     # ---------- dense matches (reference match_dense_2view.py) ----------

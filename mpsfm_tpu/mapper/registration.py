@@ -331,9 +331,12 @@ class Registration(BaseClass):
         rec = self.rec
         im = rec.images[imid]
         cam = rec.camera(imid)
-        if ref_imids is None:
+        if not ref_imids:  # None or empty: fall back to all registered
             ref_imids = list(rec.registered_images.keys())
-        ref_imids = sorted(ref_imids)
+        ref_imids = sorted(i for i in ref_imids if rec.images[i].registered)
+        if not ref_imids:
+            self.log(f"Image {imid}: no registered reference images")
+            return False
 
         ap_min = self.conf.abs_pose_min_num_inliers
         if self.half_ap_min_inliers:

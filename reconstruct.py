@@ -54,9 +54,12 @@ def main():
         from mpsfm_tpu.eval import ate_between
         from mpsfm_tpu.utils.colmap_io import read_text
 
-        metrics = ate_between(rec, read_text(args.refrec_dir))
-        metrics.pop("per_image", None)
-        print("ATE vs reference:", json.dumps(metrics))
+        try:
+            metrics = ate_between(rec, read_text(args.refrec_dir))
+            metrics.pop("per_image", None)
+            print("ATE vs reference:", json.dumps(metrics))
+        except (OSError, ValueError, IndexError) as e:
+            print(f"ATE evaluation failed ({args.refrec_dir}): {e}")
 
 
 if __name__ == "__main__":

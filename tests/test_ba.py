@@ -233,3 +233,49 @@ def test_losses_match_ceres_forms():
     for lid in (losses.SOFT_L1, losses.CAUCHY):
         num = (losses.rho(lid, s + eps, a) - losses.rho(lid, s - eps, a)) / (2 * eps)
         np.testing.assert_allclose(losses.rho_prime(lid, s, a), num, rtol=1e-2, atol=1e-3)
+
+
+def test_point_covariance_matches_dense_inverse(rng):
+    """cov_p from the Schur identity == corresponding block of the dense
+    H^-1 built explicitly (tiny problem)."""
+    import jax.numpy as jnp
+
+    from mpsfm_tpu.ba import losses as L
+    from mpsfm_tpu.ba.covariance import point_covariances
+    from mpsfm_tpu.ba.solver import _assemble, _cam_reduce_last, _seg_reduce_last
+
+    rec, gt = make_synthetic_rec(rng, n_cams=3, n_pts=6, noise_px=0.5, pose_noise=0.0)
+    bundle = {"optim_ids": {0, 1, 2}, "pts3D": set(rec.point_ids().tolist()), "constpoints": set()}
+    prob = build_ba_data(rec, bundle, mode="global", use_depth=False)
+    d = prob.data
+    cov = np.asarray(point_covariances(d))
+
+    # dense H over [cam dofs (6C) | point dofs (3P)]
+    asm = _assemble(d, d.quat, d.t, d.xyz, L.TRIVIAL, L.TRIVIAL)
+    J_r = np.asarray(asm["J_r"])  # (2,9,No)
+    w = np.asarray(asm["w_r"])
+    C = d.quat.shape[0]
+    P = d.xyz.shape[0]
+    No = w.shape[0]
+    r_cam = np.asarray(d.r_cam)
+    r_pt = np.asarray(d.r_pt)
+    n_dof = 6 * C + 3 * P
+    H = np.zeros((n_dof, n_dof))
+    for n in range(No):
+        Jn = np.zeros((2, n_dof))
+        Jn[:, 6 * r_cam[n] : 6 * r_cam[n] + 6] = J_r[:, :6, n]
+        Jn[:, 6 * C + 3 * r_pt[n] : 6 * C + 3 * r_pt[n] + 3] = J_r[:, 6:, n]
+        H += w[n] * Jn.T @ Jn
+    # same regularization as point_covariances
+    cam_dof = np.asarray(d.cam_dof)
+    for c in range(C):
+        for k in range(6):
+            H[6 * c + k, 6 * c + k] += (1.0 - cam_dof[c, k]) + 1e-6
+    pv = np.asarray(d.point_var)
+    for p in range(P):
+        for k in range(3):
+            H[6 * C + 3 * p + k, 6 * C + 3 * p + k] += (1.0 - pv[p]) + 1e-6
+    Hinv = np.linalg.inv(H)
+    for p in range(6):  # real points only
+        blk = Hinv[6 * C + 3 * p : 6 * C + 3 * p + 3, 6 * C + 3 * p : 6 * C + 3 * p + 3]
+        np.testing.assert_allclose(cov[p], blk, rtol=0.08, atol=5e-4)

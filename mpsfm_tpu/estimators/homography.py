@@ -39,6 +39,25 @@ def homography_from_four_points(xy1, xy2, mask=None, minimal: bool = False):
     return H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])
 
 
+def decompose_homography_np(H):
+    """Calibrated homography (normalized coords) -> candidate
+    (R, t_unit, n) triples, host-side (init-time only). Uses OpenCV's
+    decomposeHomographyMat (Malis-Vargas) with K = I."""
+    import cv2
+    import numpy as np
+
+    H = np.asarray(H, np.float64)
+    _, Rs, ts, ns = cv2.decomposeHomographyMat(H, np.eye(3))
+    out = []
+    for R, t, n in zip(Rs, ts, ns):
+        t = t.reshape(3)
+        nrm = np.linalg.norm(t)
+        if nrm > 1e-9:
+            t = t / nrm
+        out.append((R, t, n.reshape(3)))
+    return out
+
+
 def homography_transfer_error_sq(H, xy1, xy2):
     """Squared symmetric-free forward transfer error |H p1 - p2|^2."""
     ones = jnp.ones_like(xy1[..., :1])

@@ -76,6 +76,63 @@ def run_ransac_essential(xy1n, xy2n, thresh_norm_sq, num_hyp=512, seed=0):
     }
 
 
+def run_ransac_homography_pose(xy1n, xy2n, thresh_norm_sq, num_hyp=512, seed=0, prior_normal=None):
+    """H-RANSAC + decomposition -> relative pose for planar pairs
+    (COLMAP's pose-from-homography path; the reference relies on depth
+    lifting instead, which needs priors). Candidates are cheirality-voted;
+    the two-fold planar ambiguity is broken by ``prior_normal`` (the
+    image-1 surface-normal prior, camera frame) when available."""
+    from mpsfm_tpu.estimators.homography import decompose_homography_np
+    from mpsfm_tpu.estimators.ransac import ransac_homography
+
+    n = len(xy1n)
+    nb = _bucket(n)
+    valid = np.zeros(nb, bool)
+    valid[:n] = True
+    out = ransac_homography(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(_pad2(np.asarray(xy1n, np.float32), nb)),
+        jnp.asarray(_pad2(np.asarray(xy2n, np.float32), nb)),
+        jnp.asarray(valid),
+        jnp.float32(thresh_norm_sq),
+        num_hyp=num_hyp,
+    )
+    H = np.asarray(out["H"], np.float64)
+    inl = np.asarray(out["inlier_mask"])[:n]
+    best_pose, best_score, best_votes = None, -np.inf, 0
+    xy1_in = np.asarray(xy1n)[inl]
+    xy2_in = np.asarray(xy2n)[inl]
+    for R, t, nvec in decompose_homography_np(H):
+        from mpsfm_tpu.geometry.rotations import matrix_to_quat
+
+        q = np.asarray(matrix_to_quat(jnp.asarray(R)), np.float64)
+        pose = Pose(q, t.astype(np.float64))
+        if len(xy1_in) == 0:
+            votes = 0
+        else:
+            X = _two_view_triangulate_np(Pose.identity(), pose, xy1_in, xy2_in)
+            z1 = X[:, 2]
+            z2 = pose.transform(X)[:, 2]
+            votes = int(((z1 > 0) & (z2 > 0)).sum())
+        score = float(votes)
+        if prior_normal is not None:
+            # surface normals point toward the camera (n_z < 0 in our
+            # convention); the decomposition's n points away — compare with
+            # flipped sign and weight the agreement strongly.
+            np_unit = np.asarray(prior_normal, np.float64)
+            np_unit = np_unit / max(np.linalg.norm(np_unit), 1e-12)
+            nvec_unit = nvec / max(np.linalg.norm(nvec), 1e-12)
+            score += float(-np.dot(nvec_unit, np_unit)) * max(len(xy1_in), 1)
+        if score > best_score:
+            best_score, best_votes, best_pose = score, votes, pose
+    return {
+        "pose": best_pose or Pose.identity(),
+        "inlier_mask": inl,
+        "num_inliers": int(out["num_inliers"]),
+        "cheirality_votes": best_votes,
+    }
+
+
 def _tri_angles_np(c1, c2, xyz):
     r1 = xyz - c1
     r2 = xyz - c2
@@ -147,8 +204,10 @@ class Registration(BaseClass):
         kps1 = rec.images[imid1].keypoints
         kps2 = rec.images[imid2].keypoints
 
+        tvg = self.corr.two_view_geom_by_ids(imid1, imid2) if hasattr(self.corr, "two_view_geom_by_ids") else None
+        planar = tvg is not None and int(tvg.config) in (4, 5, 6)  # PLANAR/PANORAMIC classes
         candidates, pose2 = self._init_pair_points_and_pose(
-            imid1, imid2, kps1, kps2, matches, cam1, cam2
+            imid1, imid2, kps1, kps2, matches, cam1, cam2, planar=planar
         )
         rec.images[imid1].pose = Pose.identity()
         rec.images[imid2].pose = pose2
@@ -171,7 +230,7 @@ class Registration(BaseClass):
                 added += 1
         return rec.num_points3D() >= max(3, self.conf.init_min_num_points)
 
-    def _init_pair_points_and_pose(self, imid1, imid2, kps1, kps2, matches, cam1, cam2):
+    def _init_pair_points_and_pose(self, imid1, imid2, kps1, kps2, matches, cam1, cam2, planar=False):
         rec = self.rec
         xy1n_all = cam1.cam_from_img(kps1)
         xy2n_all = cam2.cam_from_img(kps2)
@@ -180,9 +239,23 @@ class Registration(BaseClass):
         f1 = cam1.mean_focal()
         f2 = cam2.mean_focal()
         e_thr = (0.5 * (self.conf.rel_pose_max_error / f1 + self.conf.rel_pose_max_error / f2)) ** 2
-        E_info = run_ransac_essential(
-            xy1n_all[m1], xy2n_all[m2], e_thr, self.conf.num_hyp, self._next_seed()
-        )
+        if planar:
+            # Essential estimation degenerates on (near-)planar pairs; use
+            # the H-decomposition pose for the relative-pose branch, with
+            # the image-1 normal prior breaking the two-fold ambiguity.
+            prior_normal = None
+            normals = getattr(rec.images[imid1], "normals", None)
+            if normals is not None:
+                n = np.asarray(normals.data)
+                prior_normal = np.median(n.reshape(-1, 3), axis=0)
+            E_info = run_ransac_homography_pose(
+                xy1n_all[m1], xy2n_all[m2], e_thr, self.conf.num_hyp, self._next_seed(),
+                prior_normal=prior_normal,
+            )
+        else:
+            E_info = run_ransac_essential(
+                xy1n_all[m1], xy2n_all[m2], e_thr, self.conf.num_hyp, self._next_seed()
+            )
         inlier_matches = matches[E_info["inlier_mask"]]
 
         pose1 = Pose.identity()

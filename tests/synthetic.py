@@ -36,7 +36,11 @@ def _rotvec_quat(v):
 
 
 class PlaneScene:
-    """Tilted plane n·p = n_z*d0 observed by cameras near the origin."""
+    """Tilted plane n·p = n_z*d0 observed by cameras near the origin.
+
+    With ``wedge=True`` a second plane forms a corner (depth = min over
+    planes along each ray): non-planar structure that keeps essential-
+    matrix estimation well-posed and adds a depth discontinuity."""
 
     def __init__(
         self,
@@ -48,6 +52,9 @@ class PlaneScene:
         d0=5.0,
         baseline=0.35,
         point_jitter=0.0,
+        wedge=False,
+        wedge_normal=(-0.45, 0.1),
+        wedge_d0=3.6,
         rng=None,
     ):
         self.rng = rng or np.random.default_rng(0)
@@ -56,44 +63,82 @@ class PlaneScene:
         n = np.array([plane_normal[0], plane_normal[1], -1.0])
         self.n = n / np.linalg.norm(n)
         self.d0 = d0
+        self.wedge = wedge
+        if wedge:
+            n2 = np.array([wedge_normal[0], wedge_normal[1], -1.0])
+            self.n2 = n2 / np.linalg.norm(n2)
+            self.d02 = wedge_d0
         self.poses = []
         for i in range(n_images):
             q = _rotvec_quat(np.array([0.01, 0.015, 0.005]) * i)
             t = np.array([-baseline * i, 0.03 * i, 0.02 * i])
             self.poses.append(Pose(q, t))
-        # GT points on the plane, visible from camera 0
+        # GT points on the surface, visible from camera 0
         u = self.rng.uniform(-0.55, 0.55, n_points)
         v = self.rng.uniform(-0.45, 0.45, n_points)
-        denom = self.n[0] * u + self.n[1] * v + self.n[2]
-        z = self.n[2] * d0 / denom
+        z = self._ray_depth(u, v)
         self.points = np.stack([u * z, v * z, z], -1)
         if point_jitter:
             # off-plane structure: keeps essential-matrix init well-posed
             # (a pure plane degenerates E; H-decomposition init is a TODO)
             self.points = self.points + self.rng.normal(scale=point_jitter, size=self.points.shape)
 
+    def _ray_depth(self, u, v, pose: "Pose | None" = None):
+        """Depth(s) along normalized rays (u, v, 1); camera-0 frame when
+        pose is None, else that camera's frame (min over wedge planes)."""
+        if pose is None:
+            r_world = np.stack([u, v, np.ones_like(u)], -1)
+            c = np.zeros(3)
+        else:
+            Rt = pose.rotation_matrix().T
+            r_world = np.einsum("ij,...j->...i", Rt, np.stack([u, v, np.ones_like(u)], -1))
+            c = pose.center()
+        planes = [(self.n, self.d0)]
+        if self.wedge:
+            planes.append((self.n2, self.d02))
+        best = np.full(u.shape, np.inf)
+        for n, d0 in planes:
+            denom = np.einsum("i,...i->...", n, r_world)
+            s = (n[2] * d0 - n @ c) / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+            s = np.where(s > 0.05, s, np.inf)
+            best = np.minimum(best, s)
+        return np.where(np.isfinite(best), best, 0.1)
+
     def plane_depth(self, pose: Pose, W=None, H=None, fx=None):
-        """Exact depth map of the plane in a camera."""
+        """Exact depth map of the surface in a camera (min over planes)."""
         W = W or self.W
         H = H or self.H
         f = fx or self.focal
         xx, yy = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
         u = (xx - W / 2) / f
         v = (yy - H / 2) / f
-        # ray in cam: d*(u,v,1); world: R^T(d*r - t); plane: n·p = n_z*d0
-        Rt = pose.rotation_matrix().T
-        r_world = np.einsum("ij,hwj->hwi", Rt, np.stack([u, v, np.ones_like(u)], -1))
-        c = pose.center()
-        denom = np.einsum("i,hwi->hw", self.n, r_world)
-        num = self.n[2] * self.d0 - self.n @ c
-        depth = num / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
-        return np.clip(depth, 0.1, None)
+        return np.clip(self._ray_depth(u, v, pose), 0.1, None)
 
     def cam_normals(self, pose: Pose, W=None, H=None):
         W = W or self.W
         H = H or self.H
-        n_cam = pose.rotation_matrix() @ self.n  # world->cam
-        return np.broadcast_to(n_cam, (H, W, 3)).copy()
+        f = self.focal
+        R = pose.rotation_matrix()
+        if not self.wedge:
+            n_cam = R @ self.n
+            return np.broadcast_to(n_cam, (H, W, 3)).copy()
+        # per-pixel: which plane won the min-depth race
+        xx, yy = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+        u = (xx - W / 2) / f
+        v = (yy - H / 2) / f
+        Rt = R.T
+        r_world = np.einsum("ij,hwj->hwi", Rt, np.stack([u, v, np.ones_like(u)], -1))
+        c = pose.center()
+        depths = []
+        for n, d0 in ((self.n, self.d0), (self.n2, self.d02)):
+            denom = np.einsum("i,hwi->hw", n, r_world)
+            s = (n[2] * d0 - n @ c) / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+            depths.append(np.where(s > 0.05, s, np.inf))
+        pick2 = depths[1] < depths[0]
+        n1c = R @ self.n
+        n2c = R @ self.n2
+        out = np.where(pick2[..., None], n2c[None, None], n1c[None, None])
+        return out.copy()
 
     def build(
         self,
@@ -130,6 +175,11 @@ class PlaneScene:
                 & (px[:, 1] < self.H - 2)
                 & (rng.uniform(size=len(z)) < visibility)
             )
+            if self.wedge:  # occlusion: point must be the closest surface
+                dmap = self.plane_depth(pose)
+                ui = np.clip(px[:, 0].astype(int), 0, self.W - 1)
+                vi = np.clip(px[:, 1].astype(int), 0, self.H - 1)
+                vis &= z <= dmap[vi, ui] * 1.02 + 0.02
             idxs = np.where(vis)[0]
             kps = px[idxs] + rng.normal(scale=kp_noise, size=(len(idxs), 2))
             keypoints[name] = kps

@@ -150,3 +150,23 @@ def test_two_view_geometry_too_few_matches():
     tvg = estimate_two_view_geometry(CAM, CAM, np.zeros((5, 2)), np.zeros((5, 2)), matches)
     assert tvg.config == TwoViewConfig.DEGENERATE
     assert tvg.num_inliers == 0
+
+
+def test_homography_pose_recovery_planar(rng):
+    """H-decomposition recovers relative pose on a pure plane (E degenerates)."""
+    from mpsfm_tpu.mapper.registration import run_ransac_homography_pose
+    from mpsfm_tpu.scene.reconstruction import quat_to_matrix_np
+
+    pose1, pose2, pts, px1, px2 = make_scene(rng, n=150, planar=True)
+    xy1 = np.asarray(cam_from_img(CAM, px1))
+    xy2 = np.asarray(cam_from_img(CAM, px2))
+    # plane normal for scene: n ~ (0.3 z-slope) from make_scene planar: z = 4 + 0.3x
+    # plane: z - 0.3x = 4 -> n ∝ (-0.3, 0, 1); toward camera: (0.3, 0, -1)
+    n_prior = np.array([0.3, 0.0, -1.0]) / np.linalg.norm([0.3, 0, 1.0])
+    out = run_ransac_homography_pose(xy1, xy2, (4.0 / 500.0) ** 2, num_hyp=256, prior_normal=n_prior)
+    assert out["num_inliers"] > 120
+    q_est = out["pose"].q
+    assert rot_angle_deg(jnp.asarray(q_est, jnp.float32), pose2.quat) < 1.0
+    t_est = out["pose"].t / np.linalg.norm(out["pose"].t)
+    t_gt = np.asarray(pose2.t) / np.linalg.norm(pose2.t)
+    assert min(np.abs(t_est - t_gt).max(), np.abs(t_est + t_gt).max()) < 0.05

@@ -17,7 +17,7 @@ from dataclasses import dataclass
 import numpy as np
 import jax.numpy as jnp
 
-from mpsfm_tpu.ba.solver import BAData, make_slot_tables
+from mpsfm_tpu.ba.solver import BAData, make_pc_tables, make_slot_tables
 from mpsfm_tpu.scene.reconstruction import Reconstruction
 
 
@@ -203,6 +203,20 @@ def build_ba_data(
     d_pt_slots, d_pt_mask = make_slot_tables(d_pt[d_valid > 0], Pb)
     d_pt_slots = dvalid_pos[d_pt_slots].astype(np.int32) if len(dvalid_pos) else d_pt_slots
 
+    # Per-(point,camera) coupling tables for the dense-Schur path; skipped
+    # when the (Pb, Cb, 6, 3) T tensor would be too large (PCG path then).
+    pc = {}
+    if Pb * Cb <= 8_000_000:
+        pc_r_slot, pc_r_mask = make_pc_tables(r_pt, r_valid, Pb, Cb, Sc)
+        pc_d_slot, pc_d_mask = make_pc_tables(d_pt, d_valid, Pb, Cb, Sdc)
+        if pc_r_slot is not None and pc_d_slot is not None:
+            pc = dict(
+                pc_r_slot=jnp.asarray(pc_r_slot),
+                pc_r_mask=jnp.asarray(pc_r_mask),
+                pc_d_slot=jnp.asarray(pc_d_slot),
+                pc_d_mask=jnp.asarray(pc_d_mask),
+            )
+
     quat_p = _pad_to(quat, Cb)
     quat_p[C:, 0] = 1.0  # identity quats for padded cameras (zero NaNs normalize)
     data = BAData(
@@ -231,6 +245,7 @@ def build_ba_data(
         r_pt_slot_mask=jnp.asarray(r_pt_mask),
         d_pt_slots=jnp.asarray(d_pt_slots),
         d_pt_slot_mask=jnp.asarray(d_pt_mask),
+        **pc,
     )
     return BAProblem(data=data, cam_ids=cam_ids, pt_ids=np.asarray(all_pts, np.int64), n_cams=C, n_pts=len(all_pts))
 

@@ -81,6 +81,13 @@ class BAData(NamedTuple):
     r_pt_slot_mask: jnp.ndarray  # (P, Tp) f32
     d_pt_slots: jnp.ndarray  # (P, Tdp)
     d_pt_slot_mask: jnp.ndarray
+    # per-(point, camera) slot tables for the dense-Schur coupling blocks
+    # T[p,c] (a point is observed at most once per camera, so one slot
+    # suffices). Optional: None => matrix-free PCG path only.
+    pc_r_slot: jnp.ndarray | None = None  # (P, C) int32 into reproj obs
+    pc_r_mask: jnp.ndarray | None = None  # (P, C) f32
+    pc_d_slot: jnp.ndarray | None = None  # (P, C) int32 into depth obs
+    pc_d_mask: jnp.ndarray | None = None  # (P, C) f32
 
 
 def make_slot_tables(ids: "np.ndarray", num_segments: int, pad_width: int | None = None):
@@ -106,6 +113,26 @@ def make_slot_tables(ids: "np.ndarray", num_segments: int, pad_width: int | None
             slots[s, :c] = order[starts[s] : starts[s] + c]
             mask[s, :c] = 1.0
     return slots, mask
+
+
+def make_pc_tables(pt_ids, valid, num_points: int, num_cams: int, rows_per_cam: int):
+    """Host helper: per-(point, camera) slot tables for camera-major obs.
+
+    Obs row n belongs to camera n // rows_per_cam; a point appears at most
+    once per camera (SfM track invariant), so T[p,c] = W_rows[pc_slot[p,c]]
+    masked — one row gather replaces the (P,K,C) one-hot contraction."""
+    import numpy as np
+
+    slot = np.zeros((num_points, num_cams), np.int32)
+    mask = np.zeros((num_points, num_cams), np.float32)
+    n = np.where(np.asarray(valid) > 0)[0]
+    p = np.asarray(pt_ids)[n]
+    c = n // rows_per_cam
+    if len(n) and len(np.unique(p.astype(np.int64) * num_cams + c)) != len(n):
+        return None, None  # invariant violated: caller falls back to PCG
+    slot[p, c] = n
+    mask[p, c] = 1.0
+    return slot, mask
 
 
 def _seg_reduce(vals, slots, mask):
@@ -373,68 +400,180 @@ def _cam_expand_last(x, No):
     return jnp.broadcast_to(x[..., :, None], (*x.shape[:-1], C, S)).reshape(*x.shape[:-1], No)
 
 
-def _normal_equations(data: BAData, asm, C, P):
-    """Observation-major ("No-last") normal-equation assembly.
+def _assemble_ne(data: BAData, quat, t, xyz, reproj_loss: int, depth_loss: int):
+    """Fused assembly + normal equations, TPU-layout-aware.
 
-    Per-observation 6x3/6x6/3x3 blocks keep the big observation axis in
-    the TPU lane dimension: tensors are (i, j, No) and every contraction
-    is an unrolled multiply-add over (No,) vectors — small trailing dims
-    like (No, 6, 3) would waste 97% of the 8x128 VPU lanes.
+    Elementwise math runs on (No,) lane-aligned component vectors
+    (small-minor-dim tensors waste VPU lanes). Reductions then switch to
+    row-major tables so every gather indexes the MAJOR axis with
+    contiguous rows — `vals[..., slots]` lane-dim indexing was measured
+    at ~55 ms/iter on v5e vs <2 ms for the row-gather form:
 
-    Returns Hcc (C,6,6), Hpp (P,3,3), W_r (6,3,No), W_d (6,3,Nd),
-    g_c (C,6), g_p (P,3).
+      * per-camera sums: camera-major layout => reshape-sum, no gather;
+      * per-point sums: the 9 point-side products (6 sym Hpp + 3 g_p)
+        are stacked into one (No, 9) row table, gathered by the (P, K)
+        slot table, and mask-summed over K;
+      * dense-Schur coupling T[p,c]: one (P, C) row gather of the
+        (No, 18) W table via `pc_*_slot` (a point is observed at most
+        once per camera) — replaces the (P,K,C) one-hot contraction.
+
+    Returns (Hcc (C,6,6), Hpp (P,3,3), g_c (C,6), g_p (P,3),
+    Wr_rows (No,18), Wd_rows (Nd,18), T (P,C,6,3) or None).
     """
-    J_r, w_r, r_res = asm["J_r"], asm["w_r"], asm["r_res"]
-    J_d, w_d, d_res = asm["J_d"], asm["w_d"], asm["d_res"]
+    quat = quat_normalize(quat)
+    C = quat.shape[0]
+    P = xyz.shape[0]
+    No = data.r_cam.shape[0]
+    Nd = data.d_cam.shape[0]
+    R = _rotmat_cols(quat)
 
-    Jc_r = J_r[:, :6]  # (2,6,No) — already observation-major
-    Jp_r = J_r[:, 6:]  # (2,3,No)
-    Hcc_r = jnp.einsum("rin,rjn->ijn", Jc_r * w_r, Jc_r)  # (6,6,No)
-    Hpp_r = jnp.einsum("rin,rjn->ijn", Jp_r * w_r, Jp_r)  # (3,3,No)
-    W_r = jnp.einsum("rin,rjn->ijn", Jc_r * w_r, Jp_r)  # (6,3,No)
-    rT = r_res.T  # (2, No)
-    gc_r = jnp.einsum("rin,rn->in", Jc_r * w_r, rT)  # (6,No)
-    gp_r = jnp.einsum("rin,rn->in", Jp_r * w_r, rT)  # (3,No)
+    # ---------------- reprojection side ----------------
+    Re = [_cam_expand_last(r, No) for r in R]
+    te = [_cam_expand_last(t[:, k], No) for k in range(3)]
+    X = xyz[data.r_pt]
+    X0, X1, X2 = X[:, 0], X[:, 1], X[:, 2]
+    px = Re[0] * X0 + Re[1] * X1 + Re[2] * X2 + te[0]
+    py = Re[3] * X0 + Re[4] * X1 + Re[5] * X2 + te[1]
+    pz = Re[6] * X0 + Re[7] * X1 + Re[8] * X2 + te[2]
+    fxe = _cam_expand_last(data.fx, No)
+    fye = _cam_expand_last(data.fy, No)
+    pzs = jnp.where(jnp.abs(pz) < 1e-8, 1e-8, pz)
+    inv_z = 1.0 / pzs
+    ru = fxe * px * inv_z + _cam_expand_last(data.cx, No) - data.r_uv[:, 0]
+    rv = fye * py * inv_z + _cam_expand_last(data.cy, No) - data.r_uv[:, 1]
+    s_r = ru * ru + rv * rv
+    w_r = data.r_mag * losses.rho_prime(reproj_loss, s_r, data.r_scale) * data.r_valid
 
-    Jc_d = J_d[:6]  # (6, Nd)
-    Jp_d = J_d[6:]
-    Hcc_d = jnp.einsum("in,jn->ijn", Jc_d * w_d, Jc_d)
-    Hpp_d = jnp.einsum("in,jn->ijn", Jp_d * w_d, Jp_d)
-    W_d = jnp.einsum("in,jn->ijn", Jc_d * w_d, Jp_d)
-    gc_d = (Jc_d * w_d) * d_res
-    gp_d = (Jp_d * w_d) * d_res
+    a0 = fxe * inv_z
+    a2 = -fxe * px * inv_z * inv_z
+    b1 = fye * inv_z
+    b2 = -fye * py * inv_z * inv_z
+    qx = px - te[0]
+    qy = py - te[1]
+    qz = pz - te[2]
+    zeros = jnp.zeros_like(px)
+    dof = [_cam_expand_last(data.cam_dof[:, k], No) for k in range(6)]
+    pv_r = data.point_var[data.r_pt]
+    # camera-side rows (u and v residuals), dof-masked
+    ju = [
+        (a2 * qy) * dof[0], (a0 * qz - a2 * qx) * dof[1], (-a0 * qy) * dof[2],
+        a0 * dof[3], zeros, a2 * dof[5],
+    ]
+    jv = [
+        (b2 * qy - b1 * qz) * dof[0], (-b2 * qx) * dof[1], (b1 * qx) * dof[2],
+        zeros, b1 * dof[4], b2 * dof[5],
+    ]
+    # point-side rows (row of dr/dp times R), point_var-masked
+    jpu = [
+        (a0 * Re[0] + a2 * Re[6]) * pv_r,
+        (a0 * Re[1] + a2 * Re[7]) * pv_r,
+        (a0 * Re[2] + a2 * Re[8]) * pv_r,
+    ]
+    jpv = [
+        (b1 * Re[3] + b2 * Re[6]) * pv_r,
+        (b1 * Re[4] + b2 * Re[7]) * pv_r,
+        (b1 * Re[5] + b2 * Re[8]) * pv_r,
+    ]
 
-    Hcc = (_cam_reduce_last(Hcc_r, C) + _cam_reduce_last(Hcc_d, C)).transpose(2, 0, 1)
-    Hpp = (
-        _seg_reduce_last(Hpp_r, data.r_pt_slots, data.r_pt_slot_mask)
-        + _seg_reduce_last(Hpp_d, data.d_pt_slots, data.d_pt_slot_mask)
-    ).transpose(2, 0, 1)
-    g_c = (_cam_reduce_last(gc_r, C) + _cam_reduce_last(gc_d, C)).T
-    g_p = (
-        _seg_reduce_last(gp_r, data.r_pt_slots, data.r_pt_slot_mask)
-        + _seg_reduce_last(gp_d, data.d_pt_slots, data.d_pt_slot_mask)
-    ).T
-    return Hcc, Hpp, W_r, W_d, g_c, g_p
+    # ---------------- depth side ----------------
+    Re_d = [_cam_expand_last(r, Nd) for r in R]
+    te_d = [_cam_expand_last(t[:, k], Nd) for k in range(3)]
+    Xd = xyz[data.d_pt]
+    pxd = Re_d[0] * Xd[:, 0] + Re_d[1] * Xd[:, 1] + Re_d[2] * Xd[:, 2] + te_d[0]
+    pyd = Re_d[3] * Xd[:, 0] + Re_d[4] * Xd[:, 1] + Re_d[5] * Xd[:, 2] + te_d[1]
+    pzd = Re_d[6] * Xd[:, 0] + Re_d[7] * Xd[:, 1] + Re_d[8] * Xd[:, 2] + te_d[2]
+    pzc = jnp.maximum(pzd, 1e-8)
+    d_res = jnp.log(pzc) - data.d_logtarget
+    s_d = d_res * d_res
+    w_d = data.d_mag * losses.rho_prime(depth_loss, s_d, data.d_scale) * data.d_valid
+    inv_zd = jnp.where(pzd > 1e-8, 1.0 / pzc, 0.0)
+    zerosd = jnp.zeros_like(pxd)
+    dofd = [_cam_expand_last(data.cam_dof[:, k], Nd) for k in range(6)]
+    pv_d = data.point_var[data.d_pt]
+    jd = [
+        (inv_zd * (pyd - te_d[1])) * dofd[0], (-inv_zd * (pxd - te_d[0])) * dofd[1], zerosd,
+        zerosd, zerosd, inv_zd * dofd[5],
+    ]
+    jpd = [inv_zd * Re_d[6] * pv_d, inv_zd * Re_d[7] * pv_d, inv_zd * Re_d[8] * pv_d]
+
+    # ---------------- camera-side reductions (reshape sums) ----------------
+    hcc = {}
+    for i in range(6):
+        for j in range(i, 6):
+            e = _cam_reduce_last(w_r * (ju[i] * ju[j] + jv[i] * jv[j]), C)
+            e = e + _cam_reduce_last(w_d * (jd[i] * jd[j]), C)
+            hcc[(i, j)] = e
+    Hcc = jnp.stack(
+        [jnp.stack([hcc[(min(i, j), max(i, j))] for j in range(6)], -1) for i in range(6)], -2
+    )  # (C,6,6)
+    g_c = jnp.stack(
+        [
+            _cam_reduce_last(w_r * (ju[i] * ru + jv[i] * rv), C)
+            + _cam_reduce_last(w_d * (jd[i] * d_res), C)
+            for i in range(6)
+        ],
+        -1,
+    )  # (C,6)
+
+    # ---------------- point-side row tables + slot gathers ----------------
+    def point_rows(wu_, wv_, pu, pv, resu, resv):
+        # [pp00,pp01,pp02,pp11,pp12,pp22, gp0,gp1,gp2]
+        cols = [wu_ * (pu[i] * pu[j]) + wv_ * (pv[i] * pv[j]) for i in range(3) for j in range(i, 3)]
+        cols += [wu_ * (pu[i] * resu) + wv_ * (pv[i] * resv) for i in range(3)]
+        return jnp.stack(cols, axis=-1)  # (N, 9)
+
+    prow_r = point_rows(w_r, w_r, jpu, jpv, ru, rv)
+    prow_d = point_rows(w_d, jnp.zeros_like(w_d), jpd, jpd, d_res, d_res)
+    pr = (prow_r[data.r_pt_slots] * data.r_pt_slot_mask[..., None]).sum(1)
+    pr = pr + (prow_d[data.d_pt_slots] * data.d_pt_slot_mask[..., None]).sum(1)  # (P,9)
+    s00, s01, s02, s11, s12, s22 = (pr[:, k] for k in range(6))
+    Hpp = jnp.stack(
+        [
+            jnp.stack([s00, s01, s02], -1),
+            jnp.stack([s01, s11, s12], -1),
+            jnp.stack([s02, s12, s22], -1),
+        ],
+        -2,
+    )  # (P,3,3)
+    g_p = pr[:, 6:9]
+
+    # ---------------- W coupling row tables ----------------
+    Wr_rows = jnp.stack(
+        [w_r * (ju[i] * jpu[j] + jv[i] * jpv[j]) for i in range(6) for j in range(3)], axis=-1
+    )  # (No,18)
+    Wd_rows = jnp.stack([w_d * (jd[i] * jpd[j]) for i in range(6) for j in range(3)], axis=-1)
+
+    T = None
+    if data.pc_r_slot is not None:
+        T = Wr_rows[data.pc_r_slot] * data.pc_r_mask[..., None]
+        T = T + Wd_rows[data.pc_d_slot] * data.pc_d_mask[..., None]
+        T = T.reshape(P, C, 6, 3)
+    return Hcc, Hpp, g_c, g_p, Wr_rows, Wd_rows, T
 
 
-def _schur_pcg(data: BAData, Hcc_aug, Hpp_inv, W_r, W_d, rhs, cg_iters: int, cg_tol):
+def _cam_broadcast_rows(x, N):
+    """x (C, k) -> (N, k) camera-major row broadcast (no gather)."""
+    C = x.shape[0]
+    return jnp.broadcast_to(x[:, None, :], (C, N // C, x.shape[1])).reshape(N, x.shape[1])
+
+
+def _schur_pcg(data: BAData, Hcc_aug, Hpp_inv, Wr_rows, Wd_rows, rhs, cg_iters: int, cg_tol):
     """PCG on S x = rhs with S = Hcc_aug − W Hpp_inv Wᵀ, matrix-free."""
     C = Hcc_aug.shape[0]
-    P = Hpp_inv.shape[0]
+    No, Nd = Wr_rows.shape[0], Wd_rows.shape[0]
+    Wr = Wr_rows.reshape(No, 6, 3)
+    Wd = Wd_rows.reshape(Nd, 6, 3)
     Minv = jnp.linalg.inv(Hcc_aug)  # block-Jacobi preconditioner (C,6,6)
 
-    def S_mv(x):  # x (C,6); W_* are (6,3,N) observation-major
-        xg_r = _cam_expand_last(x.T, W_r.shape[-1])  # (6, No)
-        xg_d = _cam_expand_last(x.T, W_d.shape[-1])
-        y_r = jnp.einsum("ijn,in->jn", W_r, xg_r)  # (3, No)
-        y_d = jnp.einsum("ijn,in->jn", W_d, xg_d)
-        yp = _seg_reduce_last(y_r, data.r_pt_slots, data.r_pt_slot_mask) + _seg_reduce_last(
-            y_d, data.d_pt_slots, data.d_pt_slot_mask
-        )  # (3, P)
-        zp = jnp.einsum("pij,jp->ip", Hpp_inv, yp)  # (3, P)
-        back_r = jnp.einsum("ijn,jn->in", W_r, zp[:, data.r_pt])  # (6, No)
-        back_d = jnp.einsum("ijn,jn->in", W_d, zp[:, data.d_pt])
-        back = (_cam_reduce_last(back_r, C) + _cam_reduce_last(back_d, C)).T
+    def S_mv(x):  # x (C,6)
+        y_r = (Wr * _cam_broadcast_rows(x, No)[:, :, None]).sum(1)  # (No,3)
+        y_d = (Wd * _cam_broadcast_rows(x, Nd)[:, :, None]).sum(1)
+        yp = (y_r[data.r_pt_slots] * data.r_pt_slot_mask[..., None]).sum(1)
+        yp = yp + (y_d[data.d_pt_slots] * data.d_pt_slot_mask[..., None]).sum(1)  # (P,3)
+        zp = jnp.einsum("pij,pj->pi", Hpp_inv, yp)  # (P,3)
+        back_r = (Wr * zp[data.r_pt][:, None, :]).sum(-1)  # (No,6)
+        back_d = (Wd * zp[data.d_pt][:, None, :]).sum(-1)
+        back = back_r.reshape(C, -1, 6).sum(1) + back_d.reshape(C, -1, 6).sum(1)
         return jnp.einsum("cij,cj->ci", Hcc_aug, x) - back
 
     def prec(r):
@@ -468,33 +607,26 @@ def _schur_pcg(data: BAData, Hcc_aug, Hpp_inv, W_r, W_d, rhs, cg_iters: int, cg_
     return x, it
 
 
-def _dense_schur_solve(data: BAData, Hcc_aug, Hpp_inv, W_r, W_d, rhs):
+def _dense_schur_solve(T, Hcc_aug, Hpp_inv, rhs):
     """Form S = Hcc − W Hpp⁻¹ Wᵀ densely (6C x 6C) and Cholesky-solve.
 
     TPU rationale: the PCG matvec needs one ~1.2ms dynamic gather per
     iteration (the hard floor of TPU gathers), so 100 CG iterations cost
-    ~120ms. Building S explicitly replaces the loop with two one-hot MXU
-    matmuls + one small Cholesky — fixed ~5ms for C up to several hundred
+    ~120ms. With the precomputed coupling T (P,C,6,3), the reduction is
+    one batched (C6,3)x(3,3) matmul + one MXU (C6, 3P)x(3P, C6)
+    dot_general + one small Cholesky — ~2ms for C up to several hundred
     (the per-shard dense reduced system of SURVEY.md §7.1).
     """
     C = Hcc_aug.shape[0]
     P = Hpp_inv.shape[0]
     dtype = Hcc_aug.dtype
 
-    def accumulate_T(W, pt_slots, pt_mask, No):
-        # T[p, c, i, j] = sum of W blocks of point p's obs in camera c
-        Wg = W[:, :, pt_slots]  # (6,3,P,K) one gather
-        K = pt_slots.shape[1]
-        Sc = No // C
-        cam_of_slot = (pt_slots // Sc).astype(jnp.int32)  # (P,K) — camera-major layout
-        onehot = jax.nn.one_hot(cam_of_slot, C, dtype=dtype) * pt_mask[..., None]  # (P,K,C)
-        return jnp.einsum("ijpk,pkc->pcij", Wg, onehot)  # (P,C,6,3)
-
-    T = accumulate_T(W_r, data.r_pt_slots, data.r_pt_slot_mask, W_r.shape[-1]) + accumulate_T(
-        W_d, data.d_pt_slots, data.d_pt_slot_mask, W_d.shape[-1]
+    U = T.reshape(P, C * 6, 3)
+    TB = jnp.einsum("pkl,plm->pkm", U, Hpp_inv)  # (P, 6C, 3)
+    # S_red[k,m] = sum_{p,l} TB[p,k,l] U[p,m,l] — one MXU contraction.
+    S_red = jax.lax.dot_general(
+        TB, U, dimension_numbers=(((0, 2), (0, 2)), ((), ())), preferred_element_type=dtype
     )
-    TB = jnp.einsum("pcij,pjl->pcil", T, Hpp_inv)  # (P,C,6,3)
-    S_red = jnp.einsum("pcil,pdml->cidm", TB, T).reshape(6 * C, 6 * C)
     Hcc_full = jnp.zeros((C, 6, C, 6), dtype)
     ii = jnp.arange(C)
     Hcc_full = Hcc_full.at[ii, :, ii, :].set(Hcc_aug).reshape(6 * C, 6 * C)
@@ -525,15 +657,17 @@ def solve_ba(
         return _cost_only(data, quat, t, xyz, reproj_loss, depth_loss)
 
     def ne_of(quat, t, xyz):
-        asm = _assemble(data, quat, t, xyz, reproj_loss, depth_loss)
-        return _normal_equations(data, asm, C, P)
+        return _assemble_ne(data, quat, t, xyz, reproj_loss, depth_loss)
 
     def step(carry, _):
         quat, t, xyz, lam, cost, done, accepted, ne = carry
         # ne holds the normal-equation products at the CURRENT state; they
         # are lambda-independent, so rejected steps reuse them and only the
         # (cheap) augmented solve + residual-only trial cost re-runs.
-        Hcc, Hpp, W_r, W_d, g_c, g_p = ne
+        Hcc, Hpp, g_c, g_p, Wr_rows, Wd_rows, T = ne
+        No, Nd = Wr_rows.shape[0], Wd_rows.shape[0]
+        Wr = Wr_rows.reshape(No, 6, 3)
+        Wd = Wd_rows.reshape(Nd, 6, 3)
 
         # LM augmentation (Marquardt scaling) + identity rows for frozen dims.
         dc = jnp.einsum("cii->ci", Hcc)
@@ -547,29 +681,25 @@ def solve_ba(
         Hpp_inv = inv3x3(Hpp_aug)
 
         # Reduced RHS: -(g_c − W Hpp⁻¹ g_p)
-        hp = jnp.einsum("pij,pj->ip", Hpp_inv, g_p)  # (3, P)
-        red_r = jnp.einsum("ijn,jn->in", W_r, hp[:, data.r_pt])  # (6, No)
-        red_d = jnp.einsum("ijn,jn->in", W_d, hp[:, data.d_pt])
-        rhs = -(g_c - _cam_reduce_last(red_r, C).T - _cam_reduce_last(red_d, C).T)
+        hp = jnp.einsum("pij,pj->pi", Hpp_inv, g_p)  # (P,3)
+        red_r = (Wr * hp[data.r_pt][:, None, :]).sum(-1).reshape(C, -1, 6).sum(1)
+        red_d = (Wd * hp[data.d_pt][:, None, :]).sum(-1).reshape(C, -1, 6).sum(1)
+        rhs = -(g_c - red_r - red_d)
 
-        # Dense reduced system when the one-hot intermediate fits (~500MB);
-        # matrix-free PCG otherwise. Shapes are static, so this branch is
-        # resolved at trace time.
-        onehot_elems = data.r_pt_slots.shape[0] * data.r_pt_slots.shape[1] * C
-        if C <= dense_schur_max_cams and onehot_elems <= 130_000_000:
-            delta_c, cg_used = _dense_schur_solve(data, Hcc_aug, Hpp_inv, W_r, W_d, rhs)
+        # Dense reduced system when the pc-slot coupling table exists and
+        # the 6Cx6C system is small; matrix-free PCG otherwise. Shapes are
+        # static, so this branch is resolved at trace time.
+        if T is not None and C <= dense_schur_max_cams:
+            delta_c, cg_used = _dense_schur_solve(T, Hcc_aug, Hpp_inv, rhs)
         else:
-            delta_c, cg_used = _schur_pcg(data, Hcc_aug, Hpp_inv, W_r, W_d, rhs, cg_iters, cg_tol)
+            delta_c, cg_used = _schur_pcg(data, Hcc_aug, Hpp_inv, Wr_rows, Wd_rows, rhs, cg_iters, cg_tol)
         delta_c = delta_c * data.cam_dof
 
         # Back-substitution: Δp = −Hpp⁻¹ (g_p + Wᵀ Δc)
-        dcT = delta_c.T  # (6, C)
-        wtd_r = jnp.einsum("ijn,in->jn", W_r, _cam_expand_last(dcT, W_r.shape[-1]))  # (3, No)
-        wtd_d = jnp.einsum("ijn,in->jn", W_d, _cam_expand_last(dcT, W_d.shape[-1]))
-        wtd = (
-            _seg_reduce_last(wtd_r, data.r_pt_slots, data.r_pt_slot_mask)
-            + _seg_reduce_last(wtd_d, data.d_pt_slots, data.d_pt_slot_mask)
-        ).T  # (P, 3)
+        wtd_r = (Wr * _cam_broadcast_rows(delta_c, No)[:, :, None]).sum(1)  # (No,3)
+        wtd_d = (Wd * _cam_broadcast_rows(delta_c, Nd)[:, :, None]).sum(1)
+        wtd = (wtd_r[data.r_pt_slots] * data.r_pt_slot_mask[..., None]).sum(1)
+        wtd = wtd + (wtd_d[data.d_pt_slots] * data.d_pt_slot_mask[..., None]).sum(1)  # (P,3)
         delta_p = -jnp.einsum("pij,pj->pi", Hpp_inv, g_p + wtd) * data.point_var[:, None]
 
         quat_new, t_new = _apply_cam_update(quat, t, delta_c)

@@ -90,6 +90,8 @@ def shard_ba_data(data: BAData, mesh: Mesh, axis: str = "obs") -> BAData:
         r_pt_slot_mask=put_repl(data.r_pt_slot_mask),
         d_pt_slots=put_repl(data.d_pt_slots),
         d_pt_slot_mask=put_repl(data.d_pt_slot_mask),
+        # pc coupling tables dropped: the obs-sharded solve uses the
+        # matrix-free PCG path (every reduction a partial-sum + psum).
     )
 
 

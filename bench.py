@@ -23,20 +23,19 @@ BASELINE_REF_ITERS_PER_S = 5.0
 
 def main():
     from __graft_entry__ import _synthetic_ba_data
-    from mpsfm_tpu.ba.solver import solve_ba
+    from mpsfm_tpu.ba.dense import densify, solve_ba_dense
     import jax
 
     n_cams, n_pts = 64, 8192
-    # all cams observe a subset: emulate ~12 obs/pt tracks
-    data = _synthetic_ba_data(n_cams=n_cams, n_pts=n_pts)
+    data = densify(_synthetic_ba_data(n_cams=n_cams, n_pts=n_pts), n_cams, n_pts)
     max_iters = 20
 
     # rel_tol=0 disables the early-exit 'done' latch so every scheduled LM
     # iteration does full work — honest per-iteration throughput.
-    kw = dict(max_iters=max_iters, cg_iters=100, rel_tol=0.0)
+    kw = dict(max_iters=max_iters, rel_tol=0.0)
 
     def run_once():
-        quat, t, xyz, info = solve_ba(data, **kw)
+        quat, t, xyz, info = solve_ba_dense(data, **kw)
         # NOTE: jax.block_until_ready does not actually block on the axon
         # backend — force a value transfer to time real execution.
         return float(np.asarray(xyz).sum())

@@ -41,6 +41,7 @@ class BAProblem:
     pt_ids: np.ndarray  # local point index -> pid
     n_cams: int
     n_pts: int
+    dense: object | None = None  # DenseBAData when C*P small (gather-free path)
 
 
 def build_ba_data(
@@ -247,7 +248,35 @@ def build_ba_data(
         d_pt_slot_mask=jnp.asarray(d_pt_mask),
         **pc,
     )
-    return BAProblem(data=data, cam_ids=cam_ids, pt_ids=np.asarray(all_pts, np.int64), n_cams=C, n_pts=len(all_pts))
+    dense = None
+    if Pb * Cb <= 8_000_000:
+        from mpsfm_tpu.ba.dense import DenseBAData
+
+        uv_g = np.zeros((Cb, Pb, 2), dtype)
+        rw_g = np.zeros((Cb, Pb), dtype)
+        rs_g = np.ones((Cb, Pb), dtype)
+        v = r_valid > 0
+        uv_g[r_cam[v], r_pt[v]] = r_uv[v]
+        rw_g[r_cam[v], r_pt[v]] = reproj_mag
+        rs_g[r_cam[v], r_pt[v]] = reproj_scale
+        dl_g = np.zeros((Cb, Pb), dtype)
+        dw_g = np.zeros((Cb, Pb), dtype)
+        ds_g = np.ones((Cb, Pb), dtype)
+        vd = d_valid > 0
+        dl_g[d_cam[vd], d_pt[vd]] = d_log[vd]
+        dw_g[d_cam[vd], d_pt[vd]] = d_mag_arr[vd]
+        ds_g[d_cam[vd], d_pt[vd]] = d_scale_arr[vd]
+        dense = DenseBAData(
+            quat=data.quat, t=data.t, cam_dof=data.cam_dof,
+            fx=data.fx, fy=data.fy, cx=data.cx, cy=data.cy,
+            xyz=data.xyz, point_var=data.point_var,
+            uv=jnp.asarray(uv_g), r_w=jnp.asarray(rw_g), r_scale=jnp.asarray(rs_g),
+            d_logt=jnp.asarray(dl_g), d_w=jnp.asarray(dw_g), d_scale=jnp.asarray(ds_g),
+        )
+    return BAProblem(
+        data=data, cam_ids=cam_ids, pt_ids=np.asarray(all_pts, np.int64),
+        n_cams=C, n_pts=len(all_pts), dense=dense,
+    )
 
 
 def apply_ba_result(rec: Reconstruction, problem: BAProblem, quat, t, xyz):

@@ -53,13 +53,23 @@ class Optimizer(BaseClass):
             scale_filter_factor=self.conf.scale_filter_factor,
             use_depth=self.conf.use_depth,
         )
-        quat, t, xyz, info = solve_ba(
-            prob.data,
-            reproj_loss=losses.LOSS_IDS[self.conf.reproj_loss_name],
-            depth_loss=losses.LOSS_IDS[depth_loss_name],
-            max_iters=self.conf.max_iters,
-            cg_iters=self.conf.cg_iters,
-        )
+        if prob.dense is not None:
+            from mpsfm_tpu.ba.dense import solve_ba_dense
+
+            quat, t, xyz, info = solve_ba_dense(
+                prob.dense,
+                reproj_loss=losses.LOSS_IDS[self.conf.reproj_loss_name],
+                depth_loss=losses.LOSS_IDS[depth_loss_name],
+                max_iters=self.conf.max_iters,
+            )
+        else:
+            quat, t, xyz, info = solve_ba(
+                prob.data,
+                reproj_loss=losses.LOSS_IDS[self.conf.reproj_loss_name],
+                depth_loss=losses.LOSS_IDS[depth_loss_name],
+                max_iters=self.conf.max_iters,
+                cg_iters=self.conf.cg_iters,
+            )
         cost = float(info["cost"])
         if not np.isfinite(cost):
             return None, False

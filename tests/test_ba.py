@@ -279,3 +279,37 @@ def test_point_covariance_matches_dense_inverse(rng):
     for p in range(6):  # real points only
         blk = Hinv[6 * C + 3 * p : 6 * C + 3 * p + 3, 6 * C + 3 * p : 6 * C + 3 * p + 3]
         np.testing.assert_allclose(cov[p], blk, rtol=0.08, atol=5e-4)
+
+
+def test_dense_ba_matches_sparse(rng):
+    """Gather-free dense (C,P) solver reaches the same solution as the
+    sparse slot-table solver on the same problem (incl. depth priors)."""
+    from mpsfm_tpu.ba.dense import densify, solve_ba_dense
+
+    rec, gt = make_synthetic_rec(rng, noise_px=0.5, pose_noise=0.02)
+    bundle = {"optim_ids": set(range(6)), "pts3D": set(rec.point_ids().tolist()), "constpoints": set()}
+    prob = build_ba_data(rec, bundle, mode="global", use_depth=False)
+    qs, ts, xs, info_s = solve_ba(prob.data, max_iters=25)
+    C, P = prob.data.quat.shape[0], prob.data.xyz.shape[0]
+    ddata = densify(prob.data, C, P)
+    qd, td, xd, info_d = solve_ba_dense(ddata, max_iters=25)
+    assert float(info_d["cost"]) < float(info_d["cost0"]) * 0.2
+    # same converged optimum (both reach GT-ish): compare against sparse
+    np.testing.assert_allclose(np.asarray(td), np.asarray(ts), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(xd), np.asarray(xs), atol=2e-2)
+    # costs agree to a few percent
+    assert abs(float(info_d["cost"]) - float(info_s["cost"])) < 0.05 * float(info_s["cost"]) + 1e-3
+
+
+def test_dense_ba_with_depth(rng):
+    from mpsfm_tpu.ba.dense import densify, solve_ba_dense
+
+    rec, gt = make_synthetic_rec(rng, noise_px=0.3, pose_noise=0.0)
+    from __graft_entry__ import _synthetic_ba_data
+
+    data = _synthetic_ba_data(n_cams=8, n_pts=256)
+    qs, ts, xs, info_s = solve_ba(data, max_iters=20)
+    ddata = densify(data, 8, 256)
+    qd, td, xd, info_d = solve_ba_dense(ddata, max_iters=20)
+    assert float(info_d["cost"]) < float(info_d["cost0"])
+    assert abs(float(info_d["cost"]) - float(info_s["cost"])) < 0.05 * float(info_s["cost"]) + 1e-3

@@ -225,6 +225,23 @@ class DepthConsistencyChecker(BaseClass):
         )
         return score <= self.conf.init_depth_cons_thresh
 
+    def pre_fail(self, imid):
+        """Fail a candidate before registration from its previous DC score
+        (reference depthconsistency.py:169-192 — the upstream body is
+        unfinished/raises; this implements its documented skip logic)."""
+        im = self.rec.images[imid]
+        if im.last_dc_score is None:
+            return False
+        if self.conf.depth_consistency_resample and im.dc_times_inliers_resampled == 0:
+            return False  # resampling not yet tried: give it a chance
+        if self.skip_dc_check:
+            return False
+        if im.last_dc_score > self.depth_cons_thresh:
+            self.log(f"Depth consistency pre-failed for {imid}: {im.last_dc_score:.3f}", level=1)
+            self.reg_batch_dc_times_failed += 1
+            return True
+        return False
+
     def at_failure(self, imid):
         im = self.rec.images[imid]
         im.failed_dc_check = True

@@ -41,6 +41,11 @@ class MpsfmMapper(BaseClass):
         "depth_consistency_init": False,
         "dc_num_frames": 5,
         "dc_all_frames": False,
+        # exploration: skip registering a candidate whose previous DC score
+        # already exceeds the threshold (reference base.py:364-366; its
+        # checker body is unfinished upstream — depthconsistency.py:169-187
+        # raises NotImplementedError — we implement the documented intent).
+        "pre_fail": False,
         "final_robustification": 0.125,
         "times_relax_init_thresh": 1,
         "local_bundle_size": 5,
@@ -149,7 +154,37 @@ class MpsfmMapper(BaseClass):
                 else:
                     self.at_success()
 
-            success = self.nextview.next_image()
+            # DC-failure batch gate: after dc_num_frames failures in one
+            # registration batch (or every remaining candidate failed),
+            # retry only resampled candidates / give up on DC
+            # (reference base.py:295-318).
+            if not self.conf.dc_all_frames and (
+                len(self.nextview.freeze_imids) > 0
+                and (
+                    self.dc.reg_batch_dc_times_failed >= self.conf.dc_num_frames
+                    or self.dc.reg_batch_dc_times_failed
+                    == rec.num_images() - rec.num_reg_images()
+                )
+            ):
+                if self.dc.conf.depth_consistency_resample:
+                    resample_imids = {
+                        imid
+                        for imid in self.nextview.freeze_imids
+                        if rec.images[imid].dc_times_inliers_resampled == 1
+                        and rec.images[imid].failed_dc_check
+                    }
+                    for imid in resample_imids:
+                        rec.images[imid].failed_dc_check = False
+                    success = self.nextview.next_image(list(resample_imids))
+                    if not success:
+                        self.log("Resample failed: skipping DC checks", level=1)
+                        self.dc.skip_dc_check = True
+                        for im in rec.images.values():
+                            im.ignore_matches_AP = {}
+                else:
+                    success = False
+            else:
+                success = self.nextview.next_image()
             if not success:
                 if rec.num_reg_images() == rec.num_images():
                     self.log("All images registered")
@@ -184,6 +219,9 @@ class MpsfmMapper(BaseClass):
                 f"{rec.images[cand].name}",
                 level=1,
             )
+            if self.conf.depth_consistency and self.conf.pre_fail:
+                if self.dc.pre_fail(cand):
+                    continue  # top of loop marks the candidate failed
             if rec.best_next_ref_imid is not None:
                 ref_imids = set(rec.find_local_bundle_ids(rec.best_next_ref_imid)) | {
                     rec.best_next_ref_imid

@@ -180,6 +180,11 @@ class Registration(BaseClass):
         "abs_pose_min_num_inliers": 30,
         "rel_pose_max_error": 4.0,
         "num_hyp": 512,
+        # exploration: when the best-ref inlier ratio is weak (<0.1) while
+        # another ref supports >0.2, blacklist the AP inliers and re-run the
+        # absolute pose (reference registration.py:196-232, conf
+        # "resample_bunlde" [sic]).
+        "resample_bundle": False,
         "verbose": 0,
     }
 
@@ -416,52 +421,77 @@ class Registration(BaseClass):
             ap_min = int(ap_min / (1.2**self.half_ap_min_inliers))
         force = self.half_ap_min_inliers >= self.conf.reduce_min_inliers_at_failure
 
-        pair_data = {r: self._find_2D3D_pairs(r, imid) for r in ref_imids}
-        pts2d_kp = np.concatenate([pair_data[r]["2d_kp"] for r in ref_imids])
-        pts3d = np.concatenate([pair_data[r]["3d"] for r in ref_imids])
-        lifted = np.concatenate([pair_data[r]["lifted"] for r in ref_imids])
-        ids3d = np.concatenate([pair_data[r]["3dids"] for r in ref_imids])
+        for _attempt in range(3 if self.conf.resample_bundle else 1):
+            pair_data = {r: self._find_2D3D_pairs(r, imid) for r in ref_imids}
+            pts2d_kp = np.concatenate([pair_data[r]["2d_kp"] for r in ref_imids])
+            pts3d = np.concatenate([pair_data[r]["3d"] for r in ref_imids])
+            lifted = np.concatenate([pair_data[r]["lifted"] for r in ref_imids])
+            ids3d = np.concatenate([pair_data[r]["3dids"] for r in ref_imids])
 
-        # dedup triangulated by point id (reference :155-163)
-        if (~lifted).sum() > 0:
-            uniq, uidx = np.unique(ids3d, return_index=True)
-            tri_kp = pts2d_kp[~lifted][uidx]
-            tri_3d = pts3d[~lifted][uidx]
-        else:
-            uniq = np.zeros(0, np.int64)
-            tri_kp = np.zeros(0, np.int64)
-            tri_3d = np.zeros((0, 3))
-        lift_kp = pts2d_kp[lifted]
-        lift_3d = pts3d[lifted]
-        all_kp = np.concatenate([tri_kp, lift_kp])
-        all_3d = np.concatenate([tri_3d, lift_3d])
-        if len(all_kp) < 6:
-            self.log(f"Image {imid}: <6 2D-3D pairs")
-            return False
+            # dedup triangulated by point id (reference :155-163)
+            # NOTE: ids3d concatenates each pair's pids3 (triangulated-only),
+            # so it aligns with the ~lifted positions in order.
+            if (~lifted).sum() > 0:
+                uniq, uidx = np.unique(ids3d, return_index=True)
+                tri_kp = pts2d_kp[~lifted][uidx]
+                tri_3d = pts3d[~lifted][uidx]
+            else:
+                uniq = np.zeros(0, np.int64)
+                tri_kp = np.zeros(0, np.int64)
+                tri_3d = np.zeros((0, 3))
+            lift_kp = pts2d_kp[lifted]
+            lift_3d = pts3d[lifted]
+            all_kp = np.concatenate([tri_kp, lift_kp])
+            all_3d = np.concatenate([tri_3d, lift_3d])
+            if len(all_kp) < 6:
+                self.log(f"Image {imid}: <6 2D-3D pairs")
+                return False
 
-        xy_norm = cam.cam_from_img(im.keypoints[all_kp])
-        thr = (self.conf.abs_pose_max_error / cam.mean_focal()) ** 2
-        AP = run_ransac_pnp(all_3d, xy_norm, thr, self.conf.num_hyp, self._next_seed())
-        if AP["num_inliers"] < max(ap_min, 6) and not force:
-            self.log(f"Image {imid}: AP inliers {AP['num_inliers']} < {ap_min}")
-            return False
-        if AP["num_inliers"] < 6:
-            return False
+            xy_norm = cam.cam_from_img(im.keypoints[all_kp])
+            thr = (self.conf.abs_pose_max_error / cam.mean_focal()) ** 2
+            AP = run_ransac_pnp(all_3d, xy_norm, thr, self.conf.num_hyp, self._next_seed())
+            if AP["num_inliers"] < max(ap_min, 6) and not force:
+                self.log(f"Image {imid}: AP inliers {AP['num_inliers']} < {ap_min}")
+                return False
+            if AP["num_inliers"] < 6:
+                return False
 
-        # remap inlier mask back per-ref (reference :178-194)
-        inl = AP["inlier_mask"]
-        t_mask = inl[: len(tri_kp)]
-        l_mask = inl[len(tri_kp) :]
-        # per-point-id inlier lookup
-        id_inl = dict(zip(uniq.tolist(), t_mask.tolist()))
-        remapped = np.zeros(len(pts2d_kp), bool)
-        tri_positions = np.where(~lifted)[0]
-        for pos, pid in zip(tri_positions, ids3d):
-            remapped[pos] = id_inl.get(int(pid), False)
-        remapped[np.where(lifted)[0]] = l_mask
-        sizes = [len(pair_data[r]["2d_kp"]) for r in ref_imids]
-        split = np.split(remapped, np.cumsum(sizes)[:-1])
-        rec.last_ap_inlier_masks = dict(zip(ref_imids, split))
+            # remap inlier mask back per-ref (reference :178-194)
+            inl = AP["inlier_mask"]
+            t_mask = inl[: len(tri_kp)]
+            l_mask = inl[len(tri_kp) :]
+            # per-point-id inlier lookup
+            id_inl = dict(zip(uniq.tolist(), t_mask.tolist()))
+            remapped = np.zeros(len(pts2d_kp), bool)
+            tri_positions = np.where(~lifted)[0]
+            for pos, pid in zip(tri_positions, ids3d):
+                remapped[pos] = id_inl.get(int(pid), False)
+            remapped[np.where(lifted)[0]] = l_mask
+            sizes = [len(pair_data[r]["2d_kp"]) for r in ref_imids]
+            split = np.split(remapped, np.cumsum(sizes)[:-1])
+            masks = dict(zip(ref_imids, split))
+            rec.last_ap_inlier_masks = masks
+
+            # exploration: re-estimate with the dominant-but-weak ref's
+            # inliers blacklisted (reference registration.py:196-232)
+            if self.conf.resample_bundle and len(ref_imids) > 1:
+                best_id = rec.best_next_ref_imid
+                if best_id in masks and len(masks[best_id]) > 0:
+                    best_ratio = masks[best_id].mean()
+                    others = [masks[r].mean() for r in ref_imids if r != best_id and len(masks[r]) > 0]
+                    if others and best_ratio < 0.1 and np.nanmax(others) > 0.2:
+                        for ref_id, m in masks.items():
+                            if len(m) == 0:
+                                continue
+                            prev = im.ignore_matches_AP.get(ref_id)
+                            if prev is not None:
+                                used = ~prev
+                                prev[used] |= m
+                            else:
+                                im.ignore_matches_AP[ref_id] = m.copy()
+                        self.log(f"Image {imid}: resampling AP inliers (best ref {best_id} ratio {best_ratio:.2f})")
+                        continue
+            break
 
         im.pose = AP["pose"]
         rec.register_image(imid)

@@ -62,3 +62,22 @@ def test_mapper_without_priors(rng):
     assert ok
     assert rec.num_reg_images() >= 4
     assert ate_rmse(rec, gt["poses"]) < 0.05
+
+
+@pytest.mark.slow
+def test_mapper_exploration_flags(rng):
+    """Pipeline still registers everything with the exploration ladder
+    features on (pre_fail, DC resample, AP bundle resample)."""
+    rec, ok, gt, mapper = run_pipeline(
+        rng,
+        mapper_conf={
+            "pre_fail": True,
+            "depth_consistency_checker": {"depth_consistency_resample": True},
+            "registration": {"resample_bundle": True},
+        },
+        n_images=6,
+        n_points=300,
+    )
+    assert ok
+    assert rec.num_reg_images() == 6, f"registered {rec.num_reg_images()}/6"
+    assert ate_rmse(rec, gt["poses"]) < 0.05

@@ -145,3 +145,51 @@ def test_colmap_io_roundtrip(tmp_path, rng):
         np.testing.assert_allclose(rec2.images[i].pose.q, rec.images[i].pose.q, atol=1e-9)
         np.testing.assert_allclose(rec2.images[i].pose.t, rec.images[i].pose.t, atol=1e-9)
     assert rec2.cameras[1].fx == rec.cameras[1].fx
+
+
+def test_dc_pre_fail_logic(rng):
+    """pre_fail skips candidates whose previous DC score exceeds the
+    threshold (reference base.py:364-366 + the documented intent of the
+    unfinished depthconsistency.py:169-192)."""
+    rec = make_dc_rec(rng)
+    dc = DepthConsistencyChecker({}, rec)
+    im = rec.images[1]
+    # no previous score: never pre-fail
+    assert not dc.pre_fail(1)
+    im.last_dc_score = 0.5  # above default 0.15 threshold
+    assert dc.pre_fail(1)
+    assert dc.reg_batch_dc_times_failed == 1
+    # resampling enabled but not yet tried: give it a chance
+    dc2 = DepthConsistencyChecker({"depth_consistency_resample": True}, rec)
+    im.dc_times_inliers_resampled = 0
+    assert not dc2.pre_fail(1)
+    im.dc_times_inliers_resampled = 1
+    assert dc2.pre_fail(1)
+    # forced-registration mode disables it
+    dc2.skip_dc_check = True
+    assert not dc2.pre_fail(1)
+    # below threshold passes
+    im.last_dc_score = 0.05
+    dc2.skip_dc_check = False
+    assert not dc2.pre_fail(1)
+
+
+def test_dc_resample_blacklists_ap_inliers(rng):
+    """at_failure with depth_consistency_resample accumulates the last AP
+    inlier masks into ignore_matches_AP (reference :195-211)."""
+    import numpy as np
+
+    rec = make_dc_rec(rng)
+    dc = DepthConsistencyChecker({"depth_consistency_resample": True}, rec)
+    m0 = np.array([True, False, True, False])
+    rec.last_ap_inlier_masks = {0: m0}
+    dc.at_failure(1)
+    im = rec.images[1]
+    assert im.dc_times_inliers_resampled == 1
+    np.testing.assert_array_equal(im.ignore_matches_AP[0], m0)
+    # second failure on the surviving (unignored) positions
+    m1 = np.array([True, False])  # over the 2 surviving match slots
+    rec.last_ap_inlier_masks = {0: m1}
+    dc.at_failure(1)
+    np.testing.assert_array_equal(im.ignore_matches_AP[0], np.array([True, True, True, False]))
+    assert dc.reg_batch_dc_times_failed == 2

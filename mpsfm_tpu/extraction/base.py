@@ -61,6 +61,7 @@ class Extraction(BaseClass):
             "sfeats": self.cache_dir / f"feats-{self.conf.features}.h5",
             "smatches": self.cache_dir / f"matches-{self.conf.matcher}.h5",
             "dpairs": self.cache_dir / f"dense-{self.conf.dense_matcher}.h5",
+            "pair_depth": self.cache_dir / f"pair-depth-{self.conf.dense_matcher}.h5",
             "depth": self.cache_dir / f"depth-{self.conf.depth}.h5",
             "normals": self.cache_dir / f"normals-{self.conf.normals}.h5",
             "masks": self.cache_dir / "masks.h5",
@@ -252,6 +253,61 @@ class Extraction(BaseClass):
             io.write_matches(path, name0, name1, out["matches0"], out["matching_scores0"])
         self.paths["smatches"] = path
         return path
+
+    def extract_pair_depths(self, pairs):
+        """'depth' matching mode: per-pair two-view depth maps with
+        confidence-derived variance (reference match_dense_2view.py:191-199
+        + mast3r.py:303-315, variance = (1/conf)²; the scene-level
+        consumer picks the best-confidence pair per image).
+
+        Backend: a two-view depth predictor (a MASt3R port when weights
+        are available); the built-in 'measured' backend injects sensor
+        depth at pair granularity (fork parity at the pair level)."""
+        import h5py
+
+        path = self.paths["pair_depth"]
+        existing = set()
+        if path.exists() and "d" not in self.extract:
+            with h5py.File(path, "r") as f:
+                existing = {k2 for k in f.keys() for k2 in (k,)}
+        for name0, name1 in pairs:
+            key = io.names_to_pair(name0, name1)
+            if key in existing:
+                continue
+            per_image = {}
+            for name in (name0, name1):
+                kw = self.scene_parser.prior_inputs(name)
+                depth = kw.get("depth_measured")
+                if depth is None:
+                    out = None
+                    if self.depth_backend is None:
+                        self.depth_backend = get_prior_backend(self.conf.depth, dict(self.conf.depth_conf))
+                    try:
+                        out = self.depth_backend(io.read_image(self.scene_parser.image_path(name)), **kw)
+                    except Exception:
+                        out = None
+                    if out is None:
+                        continue
+                    depth = out["depth"]
+                depth = np.asarray(depth, np.float32)
+                valid = depth > 0
+                # stand-in confidence: fixed 1% relative uncertainty (the
+                # fork's measured-depth calibration); a neural two-view
+                # backend supplies (1/conf)² instead.
+                variance = np.square(0.01 * np.maximum(depth, 1e-6))
+                variance[~valid] = 1e6
+                per_image[name] = {"depth": depth, "valid": valid, "variance": variance}
+            if per_image:
+                io.write_pair_mono_map(path, name0, name1, per_image)
+                self.log(f"pair depth {name0}-{name1}", level=2)
+        return path
+
+    def load_mono_from_pairs(self, name, pairs):
+        """Best-confidence per-pair depth for one image (reference
+        utils/io.py:17-42)."""
+        if not self.paths["pair_depth"].exists():
+            return None
+        return io.get_mono_map_from_pairs(self.paths["pair_depth"], name, pairs)
 
     def load_dense_pair(self, name0, name1):
         import h5py

@@ -58,6 +58,8 @@ class ReconstructionManager(BaseClass):
                 self.extractor.extract_matches(pairs)
         if "dense" in self.conf.matches_mode:
             self.extractor.extract_dense_matches(pairs)
+        if "depth" in self.conf.matches_mode:
+            self.extractor.extract_pair_depths(pairs)
         if self.conf.use_priors:
             if "measured" in self.conf.matches_mode:
                 self.extractor.use_measured()
@@ -83,6 +85,17 @@ class ReconstructionManager(BaseClass):
                     for k in ("depth", "depth_variance", "depth2", "depth_variance2", "valid", "valid2")
                     if k in mono
                 }
+                if "depth" in self.conf.matches_mode:
+                    # 'depth' matching mode: per-pair two-view depth beats
+                    # the mono prior (best-confidence pair, reference
+                    # utils/io.py:17-42); normals stay from the mono pass.
+                    pair_mono = self.extractor.load_mono_from_pairs(im.name, pairs)
+                    if pair_mono is not None:
+                        depth_dict = {
+                            "depth": pair_mono["depth"],
+                            "depth_variance": pair_mono["depth_variance"],
+                            "valid": pair_mono["valid"],
+                        }
                 normals_dict = {
                     k.replace("normals", "normals"): mono[k]
                     for k in ("normals", "normals_variance", "normals2", "normals2_variance")

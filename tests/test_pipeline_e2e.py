@@ -107,3 +107,33 @@ def test_cli_pipeline_on_rendered_scene(tmp_path, rng):
     # data_dir/cache, so the second run skips extraction)
     stdout2 = _run_cli(data_dir, tmp_path / "out2", conf_path)
     assert "success=True" in stdout2
+
+
+@pytest.mark.slow
+def test_cli_pipeline_pair_depth_mode(tmp_path, rng):
+    """'depth' matching mode: per-pair two-view depth maps (best-confidence
+    pair selection) drive the depth prior instead of the mono cache."""
+    scene = PlaneScene(
+        rng=rng, n_images=5, n_points=0, img_wh=(320, 240), focal=260.0, baseline=0.3
+    )
+    data_dir = render_scene_dir(scene, tmp_path / "scene", rng=rng, depth_noise=0.01)
+    conf_path = tmp_path / "conf.yaml"
+    conf_path.write_text(_PIPE_CONF.replace("sparse+measured", "sparse+measured+depth"))
+
+    out = tmp_path / "out"
+    stdout = _run_cli(data_dir, out, conf_path)
+    assert "success=True" in stdout, stdout[-500:]
+    from mpsfm_tpu.utils.colmap_io import read_text
+
+    rec = read_text(out)
+    assert len(rec.registered_images) >= 4
+    # the pair-depth cache was written and is keyed by pair/image
+    import h5py
+
+    cache = data_dir / "cache"
+    pd = list(cache.glob("pair-depth-*.h5"))
+    assert pd, list(cache.iterdir())
+    with h5py.File(pd[0], "r") as f:
+        some = []
+        f.visit(some.append)
+        assert any(k.endswith("depth") for k in some)

@@ -131,13 +131,24 @@ class NeuralDepthBackend:
         )
 
 
+def _vit_mono(conf=None):
+    from mpsfm_tpu.extraction.nets.mono import ViTMonoBackend
+
+    return ViTMonoBackend(conf)
+
+
 BACKENDS = {
     "measured": MeasuredDepthBackend,
     "oracle": SyntheticOracleBackend,
+    # the framework's native ViT-DPT depth+normal net (Flax); loads torch
+    # or flax checkpoints via conf.weights_path, random-init otherwise
+    "vit_mono": _vit_mono,
 }
 
 
 def get_prior_backend(name: str, conf=None):
     if name in BACKENDS:
         return BACKENDS[name](conf)
+    if name.startswith("vit_mono"):
+        return _vit_mono(conf)
     return NeuralDepthBackend(name, conf)

@@ -18,6 +18,23 @@ from mpsfm_tpu.config import BaseClass
 from mpsfm_tpu.extraction.features.classical import ClassicalFeatures
 from mpsfm_tpu.extraction.features.superpoint import SuperPoint
 from mpsfm_tpu.extraction.matchers.dense_ncc import DenseNCCMatcher
+
+
+def get_dense_matcher(name: str, conf=None):
+    """Dense matcher registry: classical NCC flow, the two-view
+    cross-attention net (MASt3R-class), or the warp regressor
+    (RoMa-class)."""
+    if name in ("dense_ncc", "ncc"):
+        return DenseNCCMatcher(conf)
+    if name in ("two_view", "mast3r_class"):
+        from mpsfm_tpu.extraction.nets.two_view import TwoViewMatcher
+
+        return TwoViewMatcher(conf)
+    if name in ("warp", "roma_class"):
+        from mpsfm_tpu.extraction.nets.warp import WarpMatcher
+
+        return WarpMatcher(conf)
+    raise ValueError(f"unknown dense matcher '{name}'")
 from mpsfm_tpu.extraction.matchers.lightglue import LightGlue
 from mpsfm_tpu.extraction.matchers.nn import MutualNNMatcher
 from mpsfm_tpu.extraction.pairs import pairs_exhaustive, pairs_from_retrieval, pairs_sequential
@@ -211,7 +228,7 @@ class Extraction(BaseClass):
         if path.exists() and "m" not in self.extract:
             with h5py.File(path, "r") as f:
                 existing = set(f.keys())
-        matcher = DenseNCCMatcher(dict(self.conf.dense_matcher_conf))
+        matcher = get_dense_matcher(self.conf.dense_matcher, dict(self.conf.dense_matcher_conf))
         for name0, name1 in pairs:
             key = io.names_to_pair(name0, name1)
             if key in existing:

@@ -185,3 +185,46 @@ def test_mono_torch_converter_roundtrip():
     out_conv = net.apply(jax.tree_util.tree_map(jnp.asarray, conv), jnp.ones((1, 32, 32, 3)) * 0.5)
     np.testing.assert_allclose(np.asarray(out_conv["depth"]), np.asarray(out_ref["depth"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_conv["normals"]), np.asarray(out_ref["normals"]), atol=1e-5)
+
+
+def test_two_view_matcher_smoke():
+    from mpsfm_tpu.extraction.nets.two_view import TwoViewMatcher
+
+    m = TwoViewMatcher({"dim": 32, "enc_depth": 2, "dec_depth": 2, "num_heads": 2, "feat": 16, "desc_dim": 8})
+    rng = np.random.default_rng(0)
+    imA = (rng.random((48, 64)) * 255).astype(np.uint8)
+    imB = np.roll(imA, 4, axis=1)
+    out = m(imA, imB)
+    assert out["keypoints0"].shape[1] == 2
+    assert len(out["keypoints0"]) == len(out["keypoints1"]) == len(out["certainty"])
+    # depth mode surface
+    pd = m.pair_depth(imA, imB)
+    assert pd["0"]["depth"].shape == (48, 64)
+    assert np.all(pd["0"]["depth"] > 0)
+    assert np.all(pd["1"]["variance"] > 0)
+
+
+def test_warp_matcher_smoke():
+    from mpsfm_tpu.extraction.nets.warp import WarpMatcher
+
+    m = WarpMatcher({"feat": 16, "certainty_threshold": -1.0})
+    rng = np.random.default_rng(0)
+    imA = (rng.random((48, 64)) * 255).astype(np.uint8)
+    imB = np.roll(imA, 4, axis=1)
+    out = m(imA, imB)
+    assert len(out["keypoints0"]) > 0
+    assert out["keypoints0"].shape == out["keypoints1"].shape
+
+
+def test_dense_matcher_registry():
+    from mpsfm_tpu.extraction.base import get_dense_matcher
+    from mpsfm_tpu.extraction.matchers.dense_ncc import DenseNCCMatcher
+
+    assert isinstance(get_dense_matcher("dense_ncc", {}), DenseNCCMatcher)
+    m = get_dense_matcher("two_view", {"dim": 32, "enc_depth": 2, "dec_depth": 2, "num_heads": 2, "feat": 16, "desc_dim": 8})
+    assert m.__class__.__name__ == "TwoViewMatcher"
+    assert get_dense_matcher("roma_class", {"feat": 16}).__class__.__name__ == "WarpMatcher"
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        get_dense_matcher("nope", {})

@@ -51,6 +51,7 @@ class Extraction(BaseClass):
         "features": "classical",  # superpoint once weights are present
         "matcher": "nn",
         "dense_matcher": "dense_ncc",
+        "sharded_inference": True,  # batch + mesh-shard batchable models
         "matches_mode": "sparse",  # sparse | dense | sparse+dense (+measured)
         "depth": "oracle",
         "normals": "from_depth",
@@ -160,9 +161,8 @@ class Extraction(BaseClass):
         if not todo:
             return path
         model = self._get_feature_model()
-        for name in todo:
-            img, scale = self._load_gray(name)
-            pred = model(img)
+        preds, scales = self._feature_preds(model, todo)
+        for name, pred, scale in zip(todo, preds, scales):
             kps = (pred["keypoints"] + 0.5) / scale - 0.5
             io.write_features(
                 path,
@@ -175,6 +175,20 @@ class Extraction(BaseClass):
             )
             self.log(f"features {name}: {len(kps)} kps", level=2)
         return path
+
+    def _feature_preds(self, model, names):
+        """Per-image detections; when the model exposes a batchable
+        forward, all images run as mesh-sharded shape-bucketed batches
+        (parallel.sharded_inference — the DataParallel equivalent of
+        SURVEY.md §2.2), else a plain per-image loop."""
+        loaded = [self._load_gray(n) for n in names]
+        scales = [s for _, s in loaded]
+        if self.conf.sharded_inference and hasattr(model, "batch_fn") and len(names) > 1:
+            from mpsfm_tpu.parallel.sharded_inference import run_sharded_batches
+
+            outs = run_sharded_batches(model.batch_fn(), [im for im, _ in loaded], lambda x: x)
+            return [model.postprocess(o) for o in outs], scales
+        return [model(im) for im, _ in loaded], scales
 
     # ---------- matches ----------
     def extract_matches(self, pairs):

@@ -102,3 +102,27 @@ class ClassicalFeatures:
             "scores": np.asarray(vals)[keep],
             "descriptors": np.asarray(desc)[keep],
         }
+
+    def batch_fn(self):
+        """(B, H, W) -> padded (kps, vals, desc, valid) with leading batch
+        axis — the unit `parallel.sharded_inference` shards over a mesh."""
+        c = self.conf
+
+        def fn(imgs):
+            return jax.vmap(
+                lambda im: _detect_describe(
+                    im, c["max_keypoints"], c["nms_radius"], c["detection_threshold"], c["patch"]
+                )
+            )(imgs)
+
+        return fn
+
+    @staticmethod
+    def postprocess(out):
+        kps, vals, desc, valid = out
+        keep = np.asarray(valid)
+        return {
+            "keypoints": np.asarray(kps)[keep],
+            "scores": np.asarray(vals)[keep],
+            "descriptors": np.asarray(desc)[keep],
+        }

@@ -42,3 +42,37 @@ def test_sharded_obs_layouts():
     mesh = make_mesh(8)
     sharded = shard_ba_data(data, mesh)
     assert sharded.r_uv.shape[0] == data.r_uv.shape[0]
+
+
+def test_sharded_feature_inference_matches_sequential():
+    """run_sharded_batches over the virtual 8-device mesh reproduces the
+    per-image forward exactly (DataParallel equivalent, SURVEY §2.2)."""
+    import numpy as np
+
+    from mpsfm_tpu.extraction.features.classical import ClassicalFeatures
+    from mpsfm_tpu.parallel.sharded_inference import data_mesh, run_sharded_batches
+
+    rng = np.random.default_rng(0)
+    model = ClassicalFeatures({"max_keypoints": 64, "resize_max": 0})
+    imgs = [rng.random((40, 48)).astype(np.float32) for _ in range(5)]  # 5 !% 8: exercises padding
+    seq = [model(im) for im in imgs]
+
+    mesh = data_mesh()
+    assert mesh.devices.size == 8
+    outs = run_sharded_batches(model.batch_fn(), imgs, lambda x: x, mesh=mesh)
+    for s, o in zip(seq, outs):
+        p = ClassicalFeatures.postprocess(o)
+        np.testing.assert_allclose(p["keypoints"], s["keypoints"], atol=1e-5)
+        np.testing.assert_allclose(p["descriptors"], s["descriptors"], atol=1e-4)
+
+
+def test_sharded_inference_shape_buckets():
+    import numpy as np
+
+    from mpsfm_tpu.parallel.sharded_inference import run_sharded_batches
+
+    import jax.numpy as jnp
+
+    items = [np.full((4, 4), i, np.float32) for i in range(3)] + [np.full((8, 8), 9.0, np.float32)]
+    outs = run_sharded_batches(lambda b: b.sum(axis=(1, 2)), items, lambda x: x)
+    assert [float(o) for o in outs] == [0.0, 16.0, 32.0, 9.0 * 64]

@@ -36,6 +36,23 @@ from mpsfm_tpu.geometry.rotations import quat_normalize
 from mpsfm_tpu.ba.solver import _apply_cam_update, _rotmat_cols, inv3x3
 
 
+import os
+
+
+def _use_pallas_chol(K: int) -> bool:
+    """Optional: route the reduced-system solve through the fused Pallas
+    Cholesky (MPSFM_PALLAS_CHOL=1). Standalone it beats XLA's blocked
+    cho_factor 2.2x (3.9 vs 8.3 ms at K=384 on v5e), but inside the LM
+    scan XLA overlaps the factorization with independent work and the
+    end-to-end solve is ~13% faster WITHOUT the kernel — so default off;
+    kept for the panelized/MXU variant and for standalone solves."""
+    if os.environ.get("MPSFM_PALLAS_CHOL", "0") != "1":
+        return False
+    from mpsfm_tpu.ba.pallas_cholesky import on_tpu
+
+    return K <= 1024 and on_tpu()
+
+
 class DenseBAData(NamedTuple):
     """Dense (C, P) BA problem. Invalid observations carry weight 0."""
 
@@ -229,8 +246,13 @@ def solve_ba_dense(
         S_red = jax.lax.dot_general(TB, Tflat, (((1, 2), (1, 2)), ((), ())), preferred_element_type=dtype)
         Hcc_full = jnp.zeros((C, 6, C, 6), dtype).at[ii, :, ii, :].set(Hcc_aug).reshape(K, K)
         S = Hcc_full - S_red
-        chol = jax.scipy.linalg.cho_factor(S + 1e-7 * eyeK)
-        dflat = jax.scipy.linalg.cho_solve(chol, rhs)
+        if _use_pallas_chol(K):
+            from mpsfm_tpu.ba.pallas_cholesky import cholesky_solve
+
+            dflat = cholesky_solve(S + 1e-7 * eyeK, rhs)
+        else:
+            chol = jax.scipy.linalg.cho_factor(S + 1e-7 * eyeK)
+            dflat = jax.scipy.linalg.cho_solve(chol, rhs)
         delta_c = dflat.reshape(C, 6) * data.cam_dof
         dflat = delta_c.reshape(K)
 

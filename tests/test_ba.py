@@ -313,3 +313,17 @@ def test_dense_ba_with_depth(rng):
     qd, td, xd, info_d = solve_ba_dense(ddata, max_iters=20)
     assert float(info_d["cost"]) < float(info_d["cost0"])
     assert abs(float(info_d["cost"]) - float(info_s["cost"])) < 0.05 * float(info_s["cost"]) + 1e-3
+
+
+def test_pallas_cholesky_solve_interpret(rng):
+    """Fused Pallas Cholesky matches a dense solve (interpret mode)."""
+    import jax.numpy as jnp
+
+    from mpsfm_tpu.ba.pallas_cholesky import cholesky_solve
+
+    for K in (32, 192):
+        A = rng.normal(size=(K, K)).astype(np.float32)
+        S = A @ A.T + K * np.eye(K, dtype=np.float32)
+        b = rng.normal(size=(K,)).astype(np.float32)
+        x = np.asarray(cholesky_solve(jnp.asarray(S), jnp.asarray(b), interpret=True))
+        np.testing.assert_allclose(x, np.linalg.solve(S, b), atol=1e-4)

@@ -16,6 +16,7 @@ import numpy as np
 
 from mpsfm_tpu.config import BaseClass
 from mpsfm_tpu.mapper.depth_consistency import DepthConsistencyChecker
+from mpsfm_tpu.utils.profiling import TIMERS
 from mpsfm_tpu.mapper.image_selection import ImageSelection
 from mpsfm_tpu.mapper.optimizer import Optimizer
 from mpsfm_tpu.mapper.registration import Registration
@@ -229,19 +230,27 @@ class MpsfmMapper(BaseClass):
                 ref_imids = {i for i in ref_imids if rec.images[i].registered}
             else:
                 ref_imids = None
-            if not self.registration.register_and_triangulate_next_image(cand, ref_imids=ref_imids):
+            with TIMERS.phase("register+triangulate"):
+                reg_ok = self.registration.register_and_triangulate_next_image(cand, ref_imids=ref_imids)
+            if not reg_ok:
                 self.at_registration_failure()
                 continue
-            if not self.post_registration_refinement(
-                cand, check_depth_consistency=not self.dc.skip_dc_check
-            ):
+            with TIMERS.phase("post_registration_refinement"):
+                prr_ok = self.post_registration_refinement(
+                    cand, check_depth_consistency=not self.dc.skip_dc_check
+                )
+            if not prr_ok:
                 self.at_registration_failure()
                 continue
-            if not self.iterative_local_refinement(cand):
+            with TIMERS.phase("local_refinement"):
+                ilr_ok = self.iterative_local_refinement(cand)
+            if not ilr_ok:
                 self.at_registration_failure()
                 continue
             if rec.num_reg_images() != rec.num_images() and self.check_run_global_refinement():
-                if not self.iterative_global_refinement():
+                with TIMERS.phase("global_refinement"):
+                    igr_ok = self.iterative_global_refinement()
+                if not igr_ok:
                     self.at_registration_failure()
                     continue
 
@@ -275,13 +284,16 @@ class MpsfmMapper(BaseClass):
             if not self.integrate_bundle(integrate_imids):
                 return None, False
         if mode == "global":
-            self.optimizer.update_truncation_multiplier(self.rec.reg_image_ids())
-        info, success = self.optimizer.ba(
-            bundle, mode=mode, allow_scale_filter=allow_scale_filter, **kw
-        )
+            with TIMERS.phase("truncation_multiplier"):
+                self.optimizer.update_truncation_multiplier(self.rec.reg_image_ids())
+        with TIMERS.phase(f"ba[{mode}]"):
+            info, success = self.optimizer.ba(
+                bundle, mode=mode, allow_scale_filter=allow_scale_filter, **kw
+            )
         return info, success
 
     def integrate_bundle(self, imids, **kw):
+      with TIMERS.phase("integrate_bundle"):
         for imid in imids:
             pri = self._priors(imid)
             if pri is None:
@@ -291,7 +303,7 @@ class MpsfmMapper(BaseClass):
                 pri.calculate_int_covs_at_kps()
         if not self.conf.int_covs_every_iter:
             self.first_refinement = False
-        return True
+      return True
 
     def iterative_local_refinement(self, imid):
         self.triangulator.complete_and_merge_all_tracks()
@@ -446,6 +458,10 @@ class MpsfmMapper(BaseClass):
 
     # ---------- filters / bundles (reference :686-826) ----------
     def filter_bundle(self, bundle, filter_ims=True):
+        with TIMERS.phase("filter_bundle"):
+            return self._filter_bundle(bundle, filter_ims)
+
+    def _filter_bundle(self, bundle, filter_ims=True):
         rec = self.rec
         rec.filter_observations_with_negative_depth()
         max_err = self.conf.filter_max_reproj_error * np.median(

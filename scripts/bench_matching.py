@@ -1,0 +1,52 @@
+"""Matching throughput: mutual-NN descriptor matching, pairs/s on one chip.
+
+BASELINE.md target row "Matching throughput ... pairs/s per chip
+(batched, no host round-trips)". Batches all pairs into ONE device
+program: descriptors stacked (B, N, D), per-pair mutual-NN with ratio
+test, one transfer back.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    rng = np.random.default_rng(0)
+    B, N, D = 64, 2048, 256  # pairs per batch, kps per image, desc dim
+    d0 = rng.normal(size=(B, N, D)).astype(np.float32)
+    d1 = rng.normal(size=(B, N, D)).astype(np.float32)
+    d0 /= np.linalg.norm(d0, axis=-1, keepdims=True)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+
+    @jax.jit
+    def match_batch(a, b):
+        sim = jnp.einsum("bnd,bmd->bnm", a, b)  # MXU
+        j = jnp.argmax(sim, -1)
+        i_back = jnp.argmax(sim, -2)
+        ar = jnp.arange(a.shape[1])[None]
+        mutual = jnp.take_along_axis(i_back, j, 1) == ar
+        best = jnp.max(sim, -1)
+        matches = jnp.where(mutual & (best > 0.0), j, -1)
+        return matches, best
+
+    a, b = jnp.asarray(d0), jnp.asarray(d1)
+    m, s = match_batch(a, b)
+    float(np.asarray(s).sum())
+    t0 = time.time()
+    runs = 5
+    for _ in range(runs):
+        m, s = match_batch(a, b)
+        float(np.asarray(s).sum())
+    dt = (time.time() - t0) / runs
+    print(f"mutual-NN {N}x{N}x{D}: {B/dt:.0f} pairs/s  ({dt*1000/B:.2f} ms/pair, batch {B})")
+
+
+if __name__ == "__main__":
+    main()

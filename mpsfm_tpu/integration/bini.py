@@ -211,7 +211,15 @@ def _pcg(matvec, b, x0, diag, max_iter, tol):
 
 
 @partial(jax.jit, static_argnames=("p",))
-def bini_solve(inp: BiniInputs, p: BiniParams):
+def bini_energy(inp: BiniInputs, p: BiniParams):
+    """Energy at inp.z0 (IRLS weights evaluated there) — the
+    should_refine test quantity."""
+    mxp, mxm, myp, mym = _masks(inp.z0.shape, inp.z0.dtype)
+    wx, wy = _weights(inp.z0, p.k)
+    return _energy(inp, p, inp.z0, wx, wy, mxp, mxm, myp, mym)
+
+
+def _bini_solve_impl(inp: BiniInputs, p: BiniParams):
     """IRLS + Jacobi-PCG solve. Returns (z, info).
 
     Mirrors the reference's convergence policy (integration.py:441-513):
@@ -267,6 +275,31 @@ def bini_solve(inp: BiniInputs, p: BiniParams):
         "cg_iters": total_cg,
     }
     return z, info
+
+
+@partial(jax.jit, static_argnames=("p",))
+def bini_solve(inp: BiniInputs, p: BiniParams):
+    return _bini_solve_impl(inp, p)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def bini_solve_batch(inp: BiniInputs, p: BiniParams):
+    """Whole-bundle integration: every BiniInputs field stacked (B,H,W);
+    one vmapped solve replaces the reference's per-image python loop
+    (SURVEY §7.1: "vmap over images in a bundle" vs mapper/base.py:619-631).
+    """
+    return jax.vmap(lambda i: _bini_solve_impl(i, p))(inp)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def bini_energy_batch(inp: BiniInputs, p: BiniParams):
+    return jax.vmap(lambda i: _energy_at_z0(i, p))(inp)
+
+
+def _energy_at_z0(inp: BiniInputs, p: BiniParams):
+    mxp, mxm, myp, mym = _masks(inp.z0.shape, inp.z0.dtype)
+    wx, wy = _weights(inp.z0, p.k)
+    return _energy(inp, p, inp.z0, wx, wy, mxp, mxm, myp, mym)
 
 
 @partial(jax.jit, static_argnames=("p", "chunk"))
@@ -429,17 +462,31 @@ class Integrator:
         self.energy_old = None
         self.integrated = False
 
-    def integrate(self, inputs: BiniInputs):
-        """Returns (depth (H,W) np.float64, changed: bool)."""
-        z, info = bini_solve(inputs, self.params)
-        aborted = bool(info["aborted"])
-        e = float(info["energy"])
-        if self.integrated and self.energy_old is not None:
-            rel = abs(e - self.energy_old) / max(self.energy_old, 1e-30)
-            if rel <= self.params.tol and aborted:
-                return None, False
-        self.energy_old = e
+    def should_refine_energy(self, e_now: float) -> bool:
+        """Energy-change test at the current (warm-started) solution: skip
+        the solve when the inputs barely moved the energy (reference
+        should_refine, integration.py:378-381,430-434)."""
+        if not self.integrated or self.energy_old is None:
+            return True
+        return abs(e_now - self.energy_old) / max(self.energy_old, 1e-30) > self.params.tol
+
+    def should_refine(self, inputs: BiniInputs) -> bool:
+        if not self.integrated or self.energy_old is None:
+            return True
+        return self.should_refine_energy(float(bini_energy(inputs, self.params)))
+
+    def accept(self, z, energy: float, aborted: bool):
+        """Post-solve bookkeeping shared by the single and batched paths.
+        Returns (depth or None, changed)."""
+        self.energy_old = energy
         self.integrated = True
         if aborted:
             return None, False
         return np.exp(np.asarray(z, np.float64)), True
+
+    def integrate(self, inputs: BiniInputs):
+        """Returns (depth (H,W) np.float64, changed: bool)."""
+        if not self.should_refine(inputs):
+            return None, False
+        z, info = bini_solve(inputs, self.params)
+        return self.accept(z, float(info["energy"]), bool(info["aborted"]))

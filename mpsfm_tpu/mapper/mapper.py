@@ -294,12 +294,17 @@ class MpsfmMapper(BaseClass):
 
     def integrate_bundle(self, imids, **kw):
       with TIMERS.phase("integrate_bundle"):
-        for imid in imids:
-            pri = self._priors(imid)
-            if pri is None:
-                continue
-            changed = pri.integrate()
-            if self.conf.int_covs and changed and self.first_refinement:
+        pris = [self._priors(imid) for imid in imids]
+        pris = [p for p in pris if p is not None]
+        if len(pris) > 1:
+            # whole-bundle vmapped solve: 2 device calls instead of 2/image
+            from mpsfm_tpu.scene.image_priors import integrate_bundle_batched
+
+            changed_map = integrate_bundle_batched(pris)
+        else:
+            changed_map = {p.imid: p.integrate() for p in pris}
+        for pri in pris:
+            if self.conf.int_covs and changed_map.get(pri.imid) and self.first_refinement:
                 pri.calculate_int_covs_at_kps()
         if not self.conf.int_covs_every_iter:
             self.first_refinement = False

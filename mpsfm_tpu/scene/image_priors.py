@@ -198,11 +198,71 @@ class ImagePriors(BaseClass):
         gy = np.clip(
             np.round(kps_sel[:, 1] * cam.sy / ds).astype(np.int32), 0, inputs.z0.shape[0] - 1
         )
+        # pad the query count to a chunk multiple on the host so distinct
+        # keypoint counts share one compiled program
+        K = len(gx)
+        Kp = ((K + 127) // 128) * 128
+        gxp = np.zeros(Kp, np.int32)
+        gyp = np.zeros(Kp, np.int32)
+        gxp[:K], gyp[:K] = gx, gy
         varlog = np.asarray(
-            diag_inverse_at(inputs, params, z, jnp.asarray(gy), jnp.asarray(gx))
-        )
+            diag_inverse_at(inputs, params, z, jnp.asarray(gyp), jnp.asarray(gxp))
+        )[:K]
         d_prior = self.depth.data_prior_at_kps(kps_sel)
         var = varlog * d_prior**2  # var(log d) -> var(d)
         for kp, v in zip(np.asarray(pts2d), var):
             self.depth.uncertainty_update[int(kp)] = float(max(v, 1e-12))
         return var
+
+
+def integrate_bundle_batched(pris) -> dict:
+    """Whole-bundle depth refinement in two device calls: one batched
+    energy evaluation (the should_refine filter) + one vmapped solve over
+    the images that need it (SURVEY §7.1 — replaces the reference's
+    per-image loop, mapper/base.py:619-631). Returns {imid: changed}.
+
+    Images are grouped by integration-grid shape + params; the refine
+    subset is padded to a power-of-two bucket to bound compile variants.
+    """
+    import jax.numpy as jnp
+
+    from mpsfm_tpu.integration.bini import BiniInputs, bini_energy_batch, bini_solve_batch
+
+    changed: dict = {}
+    groups: dict = {}
+    for pri in pris:
+        inputs = pri.build_inputs()
+        pri._last_inputs = inputs
+        key = (inputs.z0.shape, pri.integrator.params)
+        groups.setdefault(key, []).append((pri, inputs))
+
+    for (shape, params), entries in groups.items():
+        stacked = BiniInputs(
+            *[jnp.stack([getattr(inp, f) for _, inp in entries]) for f in BiniInputs._fields]
+        )
+        energies = np.asarray(bini_energy_batch(stacked, params))
+        todo = [
+            k for k, (pri, _) in enumerate(entries)
+            if pri.integrator.should_refine_energy(float(energies[k]))
+        ]
+        for k, (pri, _) in enumerate(entries):
+            if k not in todo:
+                changed[pri.imid] = False
+        if not todo:
+            continue
+        B = 1
+        while B < len(todo):
+            B *= 2
+        idxs = jnp.asarray(todo + [todo[0]] * (B - len(todo)), jnp.int32)
+        sub = BiniInputs(*[f[idxs] for f in stacked])
+        z, info = bini_solve_batch(sub, params)
+        z = np.asarray(z)
+        e_arr = np.asarray(info["energy"])
+        ab_arr = np.asarray(info["aborted"])
+        for pos, k in enumerate(todo):
+            pri = entries[k][0]
+            depth_new, ch = pri.integrator.accept(z[pos], float(e_arr[pos]), bool(ab_arr[pos]))
+            if ch and depth_new is not None:
+                pri.depth.data = depth_new
+            changed[pri.imid] = ch
+    return changed

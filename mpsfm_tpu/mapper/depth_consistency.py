@@ -59,6 +59,111 @@ def min_buffer_jax(p2D, depth_proj, mask, out_hw):
     return buf.reshape(H2, W2), won
 
 
+def _seg_copy_forward(flags, vals):
+    """Segmented copy-forward: each position gets the value at the start of
+    its segment (flags mark segment starts). Associative, scatter-free."""
+
+    def comb(a, b):
+        af, av = a
+        bf, bv = b
+        return (af | bf, jnp.where(bf, bv, av))
+
+    return jax.lax.associative_scan(comb, (flags, vals))[1]
+
+
+def _min_at_src(p2D, depth_proj, mask, out_hw):
+    """Gather-only z-buffer: for every source pixel, the min projected depth
+    among all source pixels landing on the same destination pixel, plus the
+    'won the buffer' mask. Sort-based segment-min — no scatters, so it maps
+    onto TPU sort units instead of serialized scatter updates (the
+    `.at[].min` hazard for large grids)."""
+    H2, W2 = out_hw
+    u = jnp.clip(p2D[..., 0].astype(jnp.int32), 0, W2 - 1)
+    v = jnp.clip(p2D[..., 1].astype(jnp.int32), 0, H2 - 1)
+    flat = jnp.where(mask, v * W2 + u, H2 * W2).reshape(-1)
+    d = jnp.where(mask, depth_proj, jnp.inf).reshape(-1)
+    idx = jnp.arange(d.shape[0], dtype=jnp.int32)
+    flat_s, d_s, idx_s = jax.lax.sort((flat, d, idx), num_keys=2)
+    starts = jnp.concatenate(
+        [jnp.ones((1,), bool), flat_s[1:] != flat_s[:-1]]
+    )
+    segmin_s = _seg_copy_forward(starts, d_s)
+    # unsort by a second (gather-only) sort on the original index
+    _, segmin = jax.lax.sort((idx_s, segmin_s), num_keys=1)
+    segmin = segmin.reshape(depth_proj.shape)
+    won = (jnp.where(mask, depth_proj, jnp.inf) == segmin) & mask
+    return segmin, won
+
+
+def _dir_counts(d_s, var_s, K_s, d_d, var_d, K_d, M_sd, r2, c, thresh):
+    """One direction of the whitened consistency test, reduced to the two
+    integer counts the bundle score needs: (#not-valid, #not-occluded) over
+    in-canvas source pixels. Fused on-device version of the reference's
+    reproject → z-buffer → whiten → classify chain
+    (depthconsistency.py:62-159 + points3D_utils.py:31-60)."""
+    H, W = d_s.shape
+    p, z, m = _reproject_core(d_s, K_s, K_d, M_sd, d_d.shape)
+    segmin, won = _min_at_src(p, z, m, d_d.shape)
+    x = jnp.arange(W, dtype=d_s.dtype)
+    y = jnp.arange(H, dtype=d_s.dtype)
+    xx, yy = jnp.meshgrid(x, y)
+    fx, fy, cx, cy = K_s[0, 0], K_s[1, 1], K_s[0, 2], K_s[1, 2]
+    sigma_q = jnp.asarray(1.0, d_s.dtype)  # px (reference default)
+    dpdd = r2[0] * (xx - cx) / fx + r2[1] * (yy - cy) / fy + r2[2]
+    zbar_var = var_s * dpdd**2 + sigma_q**2 * (
+        (r2[0] * d_s / fx) ** 2 + (r2[1] * d_s / fy) ** 2
+    )
+    H2, W2 = d_d.shape
+    u = jnp.clip(p[..., 0].astype(jnp.int32), 0, W2 - 1)
+    v = jnp.clip(p[..., 1].astype(jnp.int32), 0, H2 - 1)
+    dflat = (v * W2 + u).reshape(-1)
+    dd_at = jnp.take(d_d.reshape(-1), dflat).reshape(H, W)
+    var_d_at = jnp.take(var_d.reshape(-1), dflat).reshape(H, W)
+    t = (segmin - dd_at) / jnp.sqrt(c * c * (zbar_var + var_d_at) + 1e-12)
+    t = jnp.where(won, t, 0.0)
+    surface = (jnp.abs(t) < thresh) & m
+    occl = (t > thresh) & m
+    valid = surface | occl
+    nv = (m & ~valid).sum(dtype=jnp.int32)
+    nocc = (m & ~occl).sum(dtype=jnp.int32)
+    return nv, nocc
+
+
+def _reproject_core(depth1, K1, K2, M12, out_hw):
+    """Un-jitted body of reproject_depth_jax (usable inside vmap)."""
+    H, W = depth1.shape
+    x = jnp.arange(W, dtype=depth1.dtype)
+    y = jnp.arange(H, dtype=depth1.dtype)
+    xx, yy = jnp.meshgrid(x, y)
+    d = jnp.where(depth1 <= 0, 0.1, depth1)
+    xn = (xx - K1[0, 2]) / K1[0, 0]
+    yn = (yy - K1[1, 2]) / K1[1, 1]
+    p_c1 = jnp.stack([xn * d, yn * d, d], -1)
+    p_c2 = jnp.einsum("ij,hwj->hwi", M12[:, :3], p_c1) + M12[:, 3]
+    z2 = p_c2[..., 2]
+    zs = jnp.where(jnp.abs(z2) < 1e-9, 1e-9, z2)
+    u2 = p_c2[..., 0] / zs * K2[0, 0] + K2[0, 2]
+    v2 = p_c2[..., 1] / zs * K2[1, 1] + K2[1, 2]
+    H2, W2 = out_hw
+    mask = (u2 >= 0) & ((u2 + 0.5) < W2) & (v2 >= 0) & ((v2 + 0.5) < H2) & (z2 > 0)
+    return jnp.stack([u2, v2], -1), z2, mask
+
+
+def _pair_counts(d_q, var_q, Kq, d_r, var_r, Kr, M_qr, M_rq, r2_qr, r2_rq, c, thresh):
+    """(qry_nv, qry_v, ref_nv, ref_v) for one (query, ref) pair."""
+    nv_q, v_q = _dir_counts(d_q, var_q, Kq, d_r, var_r, Kr, M_qr, r2_qr, c, thresh)
+    nv_r, v_r = _dir_counts(d_r, var_r, Kr, d_q, var_q, Kq, M_rq, r2_rq, c, thresh)
+    return jnp.stack([nv_q, v_q, nv_r, v_r])
+
+
+_bundle_counts = jax.jit(
+    jax.vmap(
+        _pair_counts,
+        in_axes=(None, None, None, 0, 0, 0, 0, 0, 0, 0, None, None),
+    )
+)
+
+
 class DepthConsistencyChecker(BaseClass):
     default_conf = {
         "depth_cons_valid_thresh": 0.6,
@@ -196,15 +301,61 @@ class DepthConsistencyChecker(BaseClass):
             "valid2_mask": m21,
         }
 
+    def _dc_arrays(self, imid):
+        """(depth f32, variance f32 (÷psm²), K f32) grids for one image."""
+        d = self.rec.images[imid].depth
+        var = np.asarray(d.uncertainty, np.float32) / np.float32(
+            d.conf.prior_std_multiplier**2
+        )
+        return (
+            np.asarray(self._image_depth(imid), np.float32),
+            var,
+            np.asarray(self._K_grid(imid), np.float32),
+        )
+
     def check_bundle_depth_consistency(self, imid, bundle, score_thresh=None):
+        """Bundle score = max over {query, refs} of invalid/valid pixel ratio
+        (reference :213-246). All (query, ref) pairs with a common grid shape
+        run in ONE batched device program (reproject + sort-based z-buffer +
+        whiten + classify + count, vmapped over refs) — replacing per-pair
+        device calls + host whitening."""
         optim_ids = [i for i in bundle["optim_ids"] if i != imid]
-        ref_nv, ref_v, qry_nv, qry_v = 0, 0, 0, 0
+        if score_thresh is None:
+            score_thresh = self.conf.depth_cons_valid_thresh
+        rec = self.rec
+        d_q, var_q, K_q = self._dc_arrays(imid)
+        pose_q = rec.images[imid].pose
+        Rq = pose_q.rotation_matrix()
+        Mq44 = np.vstack([pose_q.inverse().matrix(), [0, 0, 0, 1]])
+
+        groups: dict[tuple, list] = {}
         for ref in optim_ids:
-            out = self.check_depth_consistency(imid, ref, score_thresh=score_thresh)
-            ref_nv += int((~out["valid2"] & out["valid2_mask"]).sum())
-            ref_v += int((out["valid2_mask"] & ~out["occl2"]).sum())
-            qry_nv += int((~out["valid1"] & out["valid1_mask"]).sum())
-            qry_v += int((out["valid1_mask"] & ~out["occl1"]).sum())
+            d_r, var_r, K_r = self._dc_arrays(ref)
+            pose_r = rec.images[ref].pose
+            M_qr = pose_r.matrix() @ Mq44
+            M_rq = pose_q.matrix() @ np.vstack([pose_r.inverse().matrix(), [0, 0, 0, 1]])
+            R_rq = pose_r.rotation_matrix() @ Rq.T  # R_ref R_queryᵀ
+            groups.setdefault(d_r.shape, []).append(
+                (d_r, var_r, K_r, M_qr, M_rq, R_rq[2], R_rq[:, 2])
+            )
+
+        ref_nv, ref_v, qry_nv, qry_v = 0, 0, 0, 0
+        for items in groups.values():
+            stk = [np.stack([np.asarray(it[k], np.float32) for it in items]) for k in range(7)]
+            counts = np.asarray(
+                _bundle_counts(
+                    jnp.asarray(d_q),
+                    jnp.asarray(var_q),
+                    jnp.asarray(K_q),
+                    *(jnp.asarray(s) for s in stk),
+                    jnp.float32(self.conf.c),
+                    jnp.float32(score_thresh),
+                )
+            )
+            qry_nv += int(counts[:, 0].sum())
+            qry_v += int(counts[:, 1].sum())
+            ref_nv += int(counts[:, 2].sum())
+            ref_v += int(counts[:, 3].sum())
         score = max(ref_nv / max(ref_v, 0.1), qry_nv / max(qry_v, 0.1))
         return score
 

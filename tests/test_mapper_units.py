@@ -124,6 +124,21 @@ def test_depth_consistency_rejects_corrupted(rng):
     assert score > 0.15, score
 
 
+def test_dc_bundle_batched_matches_perpair(rng):
+    """The fused batched bundle program must reproduce the legacy per-pair
+    reproject/z-buffer/whiten/classify chain (modulo f32 boundary pixels)."""
+    rec = make_dc_rec(rng, shift=0.3)
+    dc = DepthConsistencyChecker({}, rec)
+    score = dc.check_bundle_depth_consistency(0, {"optim_ids": {0, 1}})
+    out = dc.check_depth_consistency(0, 1)
+    ref_nv = int((~out["valid2"] & out["valid2_mask"]).sum())
+    ref_v = int((out["valid2_mask"] & ~out["occl2"]).sum())
+    qry_nv = int((~out["valid1"] & out["valid1_mask"]).sum())
+    qry_v = int((out["valid1_mask"] & ~out["occl1"]).sum())
+    legacy = max(ref_nv / max(ref_v, 0.1), qry_nv / max(qry_v, 0.1))
+    assert score == pytest.approx(legacy, abs=0.02), (score, legacy)
+
+
 def test_dc_relax_ladder(rng):
     rec = make_dc_rec(rng)
     dc = DepthConsistencyChecker({}, rec)

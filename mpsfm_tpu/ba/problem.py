@@ -64,24 +64,26 @@ def build_ba_data(
     pts3D = set(int(p) for p in bundle.get("pts3D", set()))
     constpoints = set(int(p) for p in bundle.get("constpoints", set()))
 
-    # --- involved points and their variability ---
-    all_pts = sorted(pts3D | constpoints)
-    all_pts = [p for p in all_pts if rec.alive[p]]
+    # --- involved points and their variability (vectorized over the pool) ---
+    all_pts_arr = np.asarray(sorted(pts3D | constpoints), np.int64)
+    all_pts_arr = all_pts_arr[rec.alive[all_pts_arr]] if len(all_pts_arr) else all_pts_arr
+    all_pts = all_pts_arr.tolist()
     pt_local = {p: i for i, p in enumerate(all_pts)}
-    point_var = np.zeros(len(all_pts), np.float32)
-    for p in all_pts:
-        if p in constpoints:
-            continue
-        if mode == "local" and rec.track_len[p] >= local_variable_track_max:
-            continue
-        point_var[pt_local[p]] = 1.0
+    if len(all_pts_arr):
+        const_mask = np.isin(all_pts_arr, np.asarray(sorted(constpoints), np.int64))
+        var_mask = ~const_mask
+        if mode == "local":
+            var_mask &= rec.track_len[all_pts_arr] < local_variable_track_max
+        point_var = var_mask.astype(np.float32)
+    else:
+        point_var = np.zeros(0, np.float32)
 
-    # --- involved cameras: optim images (variable) + other observers (const) ---
-    observer_ids = set()
-    for p in all_pts:
-        for imid, _ in rec.tracks[p]:
-            if rec.images[imid].registered:
-                observer_ids.add(imid)
+    # --- one bulk observation pass: observers + reprojection table ---
+    o_pid, o_im, o_kp = rec.observations(all_pts_arr)
+    im_unique, im_inv = np.unique(o_im, return_inverse=True) if len(o_im) else (
+        np.zeros(0, np.int64), np.zeros(0, np.int64))
+    im_reg = np.array([rec.images[i].registered for i in im_unique], bool)
+    observer_ids = set(im_unique[im_reg].tolist())
     cam_ids = list(optim_ids) + sorted(observer_ids - set(optim_ids))
     cam_local = {imid: i for i, imid in enumerate(cam_ids)}
 
@@ -107,15 +109,33 @@ def build_ba_data(
     reproj_mag = 1.0 / kp_std**2
     reproj_scale = reproj_loss_scale_mult * kp_std
 
-    per_cam: dict[int, list] = {c: [] for c in range(len(cam_ids))}
-    for p in all_pts:
-        for imid, kp in rec.tracks[p]:
-            if imid not in cam_local:
-                continue
-            per_cam[cam_local[imid]].append((pt_local[p], rec.images[imid].keypoints[kp]))
+    # vectorized (cam, pt)-sorted reprojection observation table
+    if len(o_im):
+        cam_of_im = np.full(int(im_unique.max()) + 1, -1, np.int64)
+        for imid, c in cam_local.items():
+            if imid <= im_unique.max():
+                cam_of_im[imid] = c
+        pt_of_pid = np.full(int(all_pts_arr.max()) + 1, -1, np.int64)
+        pt_of_pid[all_pts_arr] = np.arange(len(all_pts_arr))
+        obs_cam = cam_of_im[o_im]
+        keep = obs_cam >= 0
+        obs_cam = obs_cam[keep]
+        obs_pt = pt_of_pid[o_pid[keep]]
+        obs_kp = o_kp[keep]
+        obs_im = o_im[keep]
+        obs_uv = np.zeros((len(obs_cam), 2), np.float64)
+        for imid in np.unique(obs_im):
+            sel = obs_im == imid
+            obs_uv[sel] = rec.images[imid].keypoints[obs_kp[sel]]
+        order = np.lexsort((obs_pt, obs_cam))  # point-sorted within camera
+        obs_cam, obs_pt, obs_uv = obs_cam[order], obs_pt[order], obs_uv[order]
+    else:
+        obs_cam = np.zeros(0, np.int64)
+        obs_pt = np.zeros(0, np.int64)
+        obs_uv = np.zeros((0, 2), np.float64)
 
     # --- depth observations (per optim image with activated depth) ---
-    per_cam_d: dict[int, list] = {c: [] for c in range(len(cam_ids))}
+    per_cam_d: dict[int, tuple] = {}
     if use_depth:
         m = param_multiplier * truncation_multiplier * depth_rob_scale
         for imid in optim_ids:
@@ -147,52 +167,47 @@ def build_ba_data(
                 continue
             depths, variances, pids = depths[mask], variances[mask], pids[mask]
             inv_unc = 1.0 / np.clip(variances, 1e-6, None)
-            c = cam_local[imid]
-            for k in range(len(depths)):
-                per_cam_d[c].append(
-                    (
-                        pt_local[int(pids[k])],
-                        np.log(max(depths[k], 1e-8)),
-                        depths[k] ** 2 * inv_unc[k],
-                        m * np.sqrt(variances[k]) / depths[k],
-                    )
-                )
+            pt_ls = np.asarray([pt_local[int(p)] for p in pids], np.int64)
+            per_cam_d[cam_local[imid]] = (
+                pt_ls,
+                np.log(np.maximum(depths, 1e-8)),
+                depths**2 * inv_unc,
+                m * np.sqrt(variances) / depths,
+            )
 
-    # --- camera-major padded flat arrays ---
+    # --- camera-major padded flat arrays (vectorized scatter fill) ---
     Cb = _bucket(C, 2)
     Pb = _bucket(max(len(all_pts), 1))
-    Sc = _bucket(max([len(v) for v in per_cam.values()] + [1]))
-    Sdc = _bucket(max([len(v) for v in per_cam_d.values()] + [1]), 1)
+    cam_counts = np.bincount(obs_cam, minlength=max(C, 1)) if len(obs_cam) else np.zeros(max(C, 1), np.int64)
+    Sc = _bucket(max(int(cam_counts.max()) if len(cam_counts) else 1, 1))
+    Sdc = _bucket(max([len(v[0]) for v in per_cam_d.values()] + [1]), 1)
     No = Cb * Sc
     Nd = Cb * Sdc
 
-    r_cam = np.zeros(No, np.int32)
     r_pt = np.zeros(No, np.int32)
     r_uv = np.zeros((No, 2), dtype)
     r_valid = np.zeros(No, np.float32)
-    d_cam = np.zeros(Nd, np.int32)
     d_pt = np.zeros(Nd, np.int32)
     d_log = np.zeros(Nd, dtype)
     d_mag_arr = np.zeros(Nd, dtype)
     d_scale_arr = np.ones(Nd, dtype)
     d_valid = np.zeros(Nd, np.float32)
-    for c in range(Cb):
-        base = c * Sc
-        r_cam[base : base + Sc] = min(c, C - 1) if C else 0
-        obs = sorted(per_cam.get(c, []), key=lambda o: o[0])  # point-sorted
-        for k, (pl, uv) in enumerate(obs):
-            r_pt[base + k] = pl
-            r_uv[base + k] = uv
-            r_valid[base + k] = 1.0
-        based = c * Sdc
-        d_cam[based : based + Sdc] = min(c, C - 1) if C else 0
-        dobs = sorted(per_cam_d.get(c, []), key=lambda o: o[0])
-        for k, (pl, lg, mg, sc_) in enumerate(dobs):
-            d_pt[based + k] = pl
-            d_log[based + k] = lg
-            d_mag_arr[based + k] = mg
-            d_scale_arr[based + k] = sc_
-            d_valid[based + k] = 1.0
+    if len(obs_cam):
+        starts = np.concatenate([[0], np.cumsum(cam_counts)[:-1]])
+        pos = obs_cam * Sc + (np.arange(len(obs_cam)) - starts[obs_cam])
+        r_pt[pos] = obs_pt
+        r_uv[pos] = obs_uv
+        r_valid[pos] = 1.0
+    for c, (pl, lg, mg, sc_) in per_cam_d.items():
+        if len(pl) == 0:
+            continue
+        ord2 = np.argsort(pl, kind="stable")  # point-sorted within camera
+        idx = c * Sdc + np.arange(len(pl))
+        d_pt[idx] = pl[ord2]
+        d_log[idx] = lg[ord2]
+        d_mag_arr[idx] = mg[ord2]
+        d_scale_arr[idx] = sc_[ord2]
+        d_valid[idx] = 1.0
     r_cam = np.minimum(np.arange(No, dtype=np.int32) // Sc, Cb - 1)
     d_cam = np.minimum(np.arange(Nd, dtype=np.int32) // Sdc, Cb - 1)
 

@@ -529,14 +529,15 @@ class MpsfmMapper(BaseClass):
     def find_subset_bundle(self, bundle):
         rec = self.rec
         optim_ids = set(bundle["optim_ids"])
-        seen = set()
+        seen_mark = np.zeros(len(rec.alive), bool)
         for imid in bundle["optim_ids"]:
             im = rec.images[imid]
-            seen.update(im.point3D_ids[im.point3D_ids >= 0].tolist())
+            seen_mark[im.point3D_ids[im.point3D_ids >= 0]] = True
         for imid, im in rec.registered_images.items():
             if imid in optim_ids:
                 continue
-            pts = set(im.point3D_ids[im.point3D_ids >= 0].tolist())
-            if pts & seen:
+            pids = im.point3D_ids[im.point3D_ids >= 0]
+            if len(pids) and seen_mark[pids].any():
                 optim_ids.add(imid)
+        seen = set(np.where(seen_mark)[0].tolist())
         return {"optim_ids": optim_ids, "pts3D": seen}

@@ -225,30 +225,97 @@ class Triangulator(BaseClass):
                 rec.add_point3D(X, track)
             break
 
+    def _alive_pids_in_order(self, pids):
+        rec = self.rec
+        out, seen = [], set()
+        for p in pids:
+            p = int(p)
+            if 0 <= p < len(rec.alive) and rec.alive[p] and p not in seen:
+                seen.add(p)
+                out.append(p)
+        return np.asarray(out, np.int64)
+
+    def _expand_candidates(self, o_pid, o_im, o_kp):
+        """One-level correspondence expansion of an observation stream:
+        returns (order, src_pid, cand_im, cand_kp) sorted by the stream
+        position of the source observation (pid-major, track order) —
+        the visit order of the sequential COLMAP loops."""
+        cg = self.cg
+        parts = []
+        for oim in np.unique(o_im):
+            sel = np.where(o_im == oim)[0]
+            indptr, adj_im, adj_kp = cg.correspondences_all(oim)
+            a = indptr[o_kp[sel]]
+            lens = indptr[o_kp[sel] + 1] - a
+            nz = lens > 0
+            if not nz.any():
+                continue
+            a, lens, sel = a[nz], lens[nz], sel[nz]
+            cum = np.cumsum(lens)
+            flat = np.ones(int(cum[-1]), np.int64)
+            flat[0] = a[0]
+            if len(a) > 1:
+                flat[cum[:-1]] = a[1:] - (a[:-1] + lens[:-1]) + 1
+            flat = np.cumsum(flat)
+            src = np.repeat(sel, lens)
+            parts.append((src, o_pid[src], adj_im[flat], adj_kp[flat]))
+        if not parts:
+            z = np.zeros(0, np.int64)
+            return z, z.copy(), z.copy(), z.copy()
+        order = np.concatenate([p[0] for p in parts])
+        srt = np.argsort(order, kind="stable")
+        return (
+            order[srt],
+            np.concatenate([p[1] for p in parts])[srt],
+            np.concatenate([p[2] for p in parts])[srt],
+            np.concatenate([p[3] for p in parts])[srt],
+        )
+
     def complete_tracks(self, pids):
         """Extend tracks through correspondences of current observations
-        (COLMAP CompleteTracks analog, one transitive level)."""
+        (COLMAP CompleteTracks analog, one transitive level). Candidate
+        discovery, the registered/unassigned gates, and the reprojection
+        test run as vectorized passes; only accepted additions touch the
+        store."""
         rec = self.rec
-        n = 0
-        reg = set(rec.reg_image_ids())
+        pids = self._alive_pids_in_order(pids)
+        if len(pids) == 0:
+            return 0
+        o_pid, o_im, o_kp = rec.observations(pids)
+        if len(o_pid) == 0:
+            return 0
+        _, c_pid, c_im, c_kp = self._expand_candidates(o_pid, o_im, o_kp)
+        if len(c_pid) == 0:
+            return 0
+        max_im = max(rec.images.keys())
+        reg_mask = np.zeros(max_im + 1, bool)
+        for i in rec.reg_image_ids():
+            reg_mask[i] = True
+        keep = reg_mask[c_im]
+        c_pid, c_im, c_kp = c_pid[keep], c_im[keep], c_kp[keep]
+        if len(c_pid) == 0:
+            return 0
+        # unassigned keypoints only + reprojection gate, grouped per image
         max_err = self.conf.complete_max_reproj_error * np.median(
             [i.kp_std for i in rec.images.values()]
         )
-        for pid in pids:
-            if not (0 <= pid < len(rec.alive)) or not rec.alive[pid]:
+        ok = np.zeros(len(c_pid), bool)
+        for cim in np.unique(c_im):
+            sel = np.where(c_im == cim)[0]
+            im = rec.images[cim]
+            free = im.point3D_ids[c_kp[sel]] < 0
+            sel = sel[free]
+            if len(sel) == 0:
                 continue
-            frontier = list(rec.tracks[pid])
-            for oim, okp in frontier:
-                oims, okps = self.cg.correspondences(oim, okp)
-                for cim, ckp in zip(oims, okps):
-                    cim = int(cim)
-                    ckp = int(ckp)
-                    if cim not in reg or rec.images[cim].point3D_ids[ckp] >= 0:
-                        continue
-                    err = self._reproj_error_px(cim, [pid], rec.images[cim].keypoints[ckp][None])
-                    if err[0] < max_err:
-                        rec.add_observation(pid, cim, ckp)
-                        n += 1
+            err = self._reproj_error_px(cim, c_pid[sel], im.keypoints[c_kp[sel]])
+            ok[sel[err < max_err]] = True
+        n = 0
+        for i in np.where(ok)[0]:
+            cim, ckp, pid = int(c_im[i]), int(c_kp[i]), int(c_pid[i])
+            if rec.images[cim].point3D_ids[ckp] >= 0:  # first-wins within the pass
+                continue
+            rec.add_observation(pid, cim, ckp)
+            n += 1
         return n
 
     def complete_all_tracks(self):
@@ -257,28 +324,51 @@ class Triangulator(BaseClass):
     def merge_tracks(self, pids):
         """Merge point pairs linked by correspondences when the weighted
         merged point reprojects within budget everywhere (COLMAP
-        MergeTracks analog)."""
+        MergeTracks analog). Partner discovery is one vectorized expansion
+        pass; partners are re-validated at apply time so earlier merges in
+        the same pass are respected (sequential semantics preserved)."""
         rec = self.rec
         n = 0
         max_err = self.conf.merge_max_reproj_error * np.median(
             [i.kp_std for i in rec.images.values()]
         )
-        reg = set(rec.reg_image_ids())
-        for pid in list(pids):
-            if not (0 <= pid < len(rec.alive)) or not rec.alive[pid]:
+        apids = self._alive_pids_in_order(pids)
+        if len(apids) == 0:
+            return 0
+        o_pid, o_im, o_kp = rec.observations(apids)
+        if len(o_pid) == 0:
+            return 0
+        _, c_pid, c_im, c_kp = self._expand_candidates(o_pid, o_im, o_kp)
+        if len(c_pid) == 0:
+            return 0
+        max_im = max(rec.images.keys())
+        reg_mask = np.zeros(max_im + 1, bool)
+        for i in rec.reg_image_ids():
+            reg_mask[i] = True
+        keep = reg_mask[c_im]
+        c_pid, c_im, c_kp = c_pid[keep], c_im[keep], c_kp[keep]
+        # prefilter to candidates whose target kp holds a (different) point.
+        # Any kp assigned mid-pass by a merge was already assigned at
+        # discovery (merges only reassign kps of the two deleted points),
+        # so this cannot drop a partner the sequential loop would find.
+        tgt_pid = np.full(len(c_pid), -1, np.int64)
+        for cim in np.unique(c_im):
+            sel = c_im == cim
+            tgt_pid[sel] = rec.images[cim].point3D_ids[c_kp[sel]]
+        keep = (tgt_pid >= 0) & (tgt_pid != c_pid)
+        c_pid, c_im, c_kp = c_pid[keep], c_im[keep], c_kp[keep]
+        # candidate partner locations per source pid, in visit order
+        cand_locs: dict[int, list] = {}
+        for i in range(len(c_pid)):
+            cand_locs.setdefault(int(c_pid[i]), []).append((int(c_im[i]), int(c_kp[i])))
+        for pid in apids.tolist():
+            if not rec.alive[pid]:
                 continue
             partner = -1
-            for oim, okp in list(rec.tracks[pid]):
-                oims, okps = self.cg.correspondences(oim, okp)
-                for cim, ckp in zip(oims, okps):
-                    cim = int(cim)
-                    if cim not in reg:
-                        continue
-                    pid2 = rec.images[cim].point3D_ids[int(ckp)]
-                    if pid2 >= 0 and pid2 != pid:
-                        partner = int(pid2)
-                        break
-                if partner >= 0:
+            for cim, ckp in cand_locs.get(pid, ()):
+                pid2 = int(rec.images[cim].point3D_ids[ckp])
+                if pid2 >= 0 and pid2 != pid and rec.alive[pid2]:
+                    partner = pid2
                     break
             if partner < 0:
                 continue

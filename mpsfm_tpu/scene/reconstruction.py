@@ -186,8 +186,114 @@ class ImageRecord:
         return self.registered
 
 
+class PyTrackStore:
+    """Pure-Python fallback with the NativeTrackStore interface and
+    identical allocation semantics (LIFO free list, duplicate-observation
+    skip, auto-delete below track length 2)."""
+
+    def __init__(self):
+        self._p3d: dict[int, np.ndarray] = {}
+        self._tracks: list[list[tuple[int, int]] | None] = []
+        self._free: list[int] = []
+
+    def add_image(self, imid: int, num_kps: int):
+        self._p3d[imid] = np.full(num_kps, -1, np.int64)
+
+    def num_slots(self):
+        return len(self._tracks)
+
+    def add_point(self, xyz, track) -> int:
+        if self._free:
+            pid = self._free.pop()
+        else:
+            pid = len(self._tracks)
+            self._tracks.append(None)
+        tr = []
+        for imid, kp in track:
+            if self._p3d[imid][kp] >= 0:
+                continue
+            tr.append((int(imid), int(kp)))
+            self._p3d[imid][kp] = pid
+        if not tr:
+            self._free.append(pid)
+            return -1
+        self._tracks[pid] = tr
+        return pid
+
+    def add_observation(self, pid, imid, kp) -> bool:
+        if self._p3d[imid][kp] >= 0:
+            return False
+        self._tracks[pid].append((int(imid), int(kp)))
+        self._p3d[imid][kp] = pid
+        return True
+
+    def remove_observation(self, pid, imid, kp) -> bool:
+        tr = self._tracks[pid]
+        tr.remove((int(imid), int(kp)))
+        self._p3d[imid][kp] = -1
+        if len(tr) < 2:
+            self.delete_point(pid)
+            return True
+        return False
+
+    def delete_point(self, pid):
+        for imid, kp in self._tracks[pid]:
+            self._p3d[imid][kp] = -1
+        self._tracks[pid] = None
+        self._free.append(pid)
+
+    def get_track(self, pid):
+        tr = self._tracks[pid]
+        return list(tr) if tr is not None else []
+
+    def observations(self, pids):
+        o_pid, o_im, o_kp = [], [], []
+        for pid in np.asarray(pids, np.int64):
+            tr = self._tracks[pid] if 0 <= pid < len(self._tracks) else None
+            if tr is None:
+                continue
+            for imid, kp in tr:
+                o_pid.append(pid)
+                o_im.append(imid)
+                o_kp.append(kp)
+        return (
+            np.asarray(o_pid, np.int64),
+            np.asarray(o_im, np.int64),
+            np.asarray(o_kp, np.int64),
+        )
+
+
+class _TracksView:
+    """Read view with the legacy ``rec.tracks[pid] -> list | None`` shape."""
+
+    def __init__(self, rec: "Reconstruction"):
+        self._rec = rec
+
+    def __getitem__(self, pid):
+        pid = int(pid)
+        if pid >= len(self._rec.alive) or not self._rec.alive[pid]:
+            return None
+        return self._rec._store.get_track(pid)
+
+
+def _make_track_store():
+    from mpsfm_tpu import native
+
+    if native.available():
+        return native.NativeTrackStore()
+    return PyTrackStore()
+
+
 class Reconstruction:
-    """The scene: cameras, images, point pool, tracks, and filter passes."""
+    """The scene: cameras, images, point pool, tracks, and filter passes.
+
+    Track adjacency (the pointer-chasing part of COLMAP's C++
+    Reconstruction/ObservationManager) lives in the native C++ track store
+    when the toolchain can build it (mpsfm_tpu/native/trackstore.cpp),
+    with a pure-Python fallback of identical semantics. The numpy pools
+    (xyz/alive/track_len + per-image point3D_ids) remain the canonical
+    device-feed layout and are kept in lockstep by the mutation methods.
+    """
 
     def __init__(self):
         self.cameras: dict[int, HostCamera] = {}
@@ -198,9 +304,10 @@ class Reconstruction:
         self.xyz = np.zeros((cap, 3), np.float64)
         self.alive = np.zeros((cap,), bool)
         self.track_len = np.zeros((cap,), np.int32)
-        self.tracks: list[list[tuple[int, int]] | None] = [None] * cap
+        self._store = _make_track_store()
+        self._store_synced: dict[int, int] = {}  # imid -> synced #kps
+        self.tracks = _TracksView(self)
         self._num_points = 0
-        self._free: list[int] = []
         # MP-SfM extras
         self.point_covs: dict[int, np.ndarray] = {}
         self.best_next_ref_imid: int | None = None
@@ -245,65 +352,86 @@ class Reconstruction:
         return len(self.images)
 
     # --- point pool ---
-    def _grow(self):
+    def _grow_to(self, pid):
         cap = len(self.alive)
-        new_cap = cap * 2
-        self.xyz = np.concatenate([self.xyz, np.zeros((cap, 3))])
-        self.alive = np.concatenate([self.alive, np.zeros(cap, bool)])
-        self.track_len = np.concatenate([self.track_len, np.zeros(cap, np.int32)])
-        self.tracks.extend([None] * cap)
+        new_cap = cap
+        while new_cap <= pid:
+            new_cap *= 2
+        if new_cap == cap:
+            return
+        ext = new_cap - cap
+        self.xyz = np.concatenate([self.xyz, np.zeros((ext, 3))])
+        self.alive = np.concatenate([self.alive, np.zeros(ext, bool)])
+        self.track_len = np.concatenate([self.track_len, np.zeros(ext, np.int32)])
+
+    def _ensure_store_image(self, imid: int):
+        n = len(self.images[imid].point3D_ids)
+        prev = self._store_synced.get(imid)
+        if prev is None:
+            self._store.add_image(imid, n)
+            self._store_synced[imid] = n
+        elif prev != n:
+            raise RuntimeError(
+                f"image {imid} keypoint count changed after observations "
+                f"were added ({prev} -> {n})"
+            )
 
     def add_point3D(self, xyz, track: list[tuple[int, int]]) -> int:
         """track: list of (imid, kp_idx). Observations already holding a
         point are skipped (parity with ObservationManager.add_point3D)."""
-        if self._free:
-            pid = self._free.pop()
-        else:
-            pid = self._num_points
-            if pid >= len(self.alive):
-                self._grow()
-            self._num_points += 1
+        acc = []
+        seen = set()
+        for imid, kp in track:
+            self._ensure_store_image(imid)
+            o = (int(imid), int(kp))
+            if o in seen or self.images[imid].point3D_ids[kp] >= 0:
+                continue
+            seen.add(o)
+            acc.append(o)
+        if not acc:
+            return INVALID
+        pid = int(self._store.add_point(np.asarray(xyz, np.float64), acc))
+        self._grow_to(pid)
         self.xyz[pid] = xyz
         self.alive[pid] = True
-        self.tracks[pid] = []
-        self.track_len[pid] = 0
-        for imid, kp in track:
-            if self.images[imid].point3D_ids[kp] >= 0:
-                continue
-            self.tracks[pid].append((imid, kp))
+        self.track_len[pid] = len(acc)
+        for imid, kp in acc:
             self.images[imid].point3D_ids[kp] = pid
-        self.track_len[pid] = len(self.tracks[pid])
-        if self.track_len[pid] == 0:
-            self._delete_slot(pid)
-            return INVALID
+        self._num_points = max(self._num_points, pid + 1)
         return pid
 
     def add_observation(self, pid: int, imid: int, kp: int):
         if self.images[imid].point3D_ids[kp] >= 0:
             return
-        self.tracks[pid].append((imid, kp))
+        self._ensure_store_image(imid)
+        self._store.add_observation(pid, imid, kp)
         self.track_len[pid] += 1
         self.images[imid].point3D_ids[kp] = pid
 
     def remove_observation(self, pid: int, imid: int, kp: int):
-        tr = self.tracks[pid]
-        tr.remove((imid, kp))
-        self.track_len[pid] -= 1
-        self.images[imid].point3D_ids[kp] = INVALID
-        if self.track_len[pid] < 2:
-            self.delete_point3D(pid)
+        if self.track_len[pid] - 1 < 2:
+            # the store auto-deletes: clear the survivors' kp slots first
+            rem = [o for o in self._store.get_track(pid) if o != (int(imid), int(kp))]
+            self._store.remove_observation(pid, imid, kp)
+            self.images[imid].point3D_ids[kp] = INVALID
+            for i2, k2 in rem:
+                self.images[i2].point3D_ids[k2] = INVALID
+            self._clear_slot(pid)
+        else:
+            self._store.remove_observation(pid, imid, kp)
+            self.track_len[pid] -= 1
+            self.images[imid].point3D_ids[kp] = INVALID
 
     def delete_point3D(self, pid: int):
-        for imid, kp in self.tracks[pid]:
+        for imid, kp in self._store.get_track(pid):
             self.images[imid].point3D_ids[kp] = INVALID
-        self._delete_slot(pid)
+        self._store.delete_point(pid)
+        self._clear_slot(pid)
 
-    def _delete_slot(self, pid: int):
+    def _clear_slot(self, pid: int):
         self.alive[pid] = False
-        self.tracks[pid] = None
         self.track_len[pid] = 0
         self.point_covs.pop(pid, None)
-        self._free.append(pid)
 
     def point_ids(self):
         return np.where(self.alive[: self._num_points])[0]
@@ -316,23 +444,16 @@ class Reconstruction:
 
     # --- flat observation table ---
     def observations(self, pids=None):
-        """Flat (obs_pid, obs_imid, obs_kp) arrays for given (or all) points."""
+        """Flat (obs_pid, obs_imid, obs_kp) arrays for given (or all) points
+        — one bulk store call (C++ when available) instead of a per-point
+        Python loop."""
         if pids is None:
             pids = self.point_ids()
-        o_pid, o_im, o_kp = [], [], []
-        for pid in pids:
-            tr = self.tracks[pid]
-            if tr is None:
-                continue
-            for imid, kp in tr:
-                o_pid.append(pid)
-                o_im.append(imid)
-                o_kp.append(kp)
-        return (
-            np.asarray(o_pid, np.int64),
-            np.asarray(o_im, np.int64),
-            np.asarray(o_kp, np.int64),
-        )
+        pids = np.asarray(pids, np.int64)
+        if len(pids) == 0:
+            z = np.zeros(0, np.int64)
+            return z, z.copy(), z.copy()
+        return self._store.observations(pids)
 
     # --- geometry helpers (vectorized host math) ---
     def project_points_into_image(self, imid: int, pids):
@@ -362,29 +483,56 @@ class Reconstruction:
         return kp_ids, pids, px, z, True
 
     def triangulation_angles(self, pids):
-        """Max pairwise triangulation angle per point (degrees), vectorized
-        per point over its track. Replaces the COLMAP fork's
-        find_small_angle_points_mask (SURVEY.md §2.3 item (3))."""
+        """Max pairwise triangulation angle per point (degrees). Replaces the
+        COLMAP fork's find_small_angle_points_mask (SURVEY.md §2.3 item (3)).
+
+        One bulk observation pass + padded (chunk, K, K) pairwise reduction:
+        max pairwise angle = arccos of the min pairwise |cos|, evaluated in
+        chunks of points grouped by track length (bounded temp memory)."""
         pids = np.asarray(pids, np.int64)
         out = np.zeros(len(pids))
-        centers = {imid: im.pose.center() for imid, im in self.images.items() if im.registered}
-        for i, pid in enumerate(pids):
-            tr = self.tracks[pid]
-            if tr is None or len(tr) < 2:
-                out[i] = 0.0
-                continue
-            C = np.stack([centers[imid] for imid, _ in tr if imid in centers])
-            if len(C) < 2:
-                out[i] = 0.0
-                continue
-            X = self.xyz[pid]
-            r = X[None] - C
-            rn = r / np.maximum(np.linalg.norm(r, axis=-1, keepdims=True), 1e-12)
-            cosang = np.clip(rn @ rn.T, -1, 1)
-            ang = np.arccos(cosang)
-            ang = np.minimum(ang, np.pi - ang)
-            iu = np.triu_indices(len(C), 1)
-            out[i] = np.rad2deg(ang[iu].max()) if len(iu[0]) else 0.0
+        if len(pids) == 0:
+            return out
+        o_pid, o_im, _ = self.observations(pids)
+        if len(o_pid) == 0:
+            return out
+        max_im = max(self.images.keys())
+        centers = np.zeros((max_im + 1, 3))
+        reg = np.zeros(max_im + 1, bool)
+        for imid, im in self.images.items():
+            if im.registered:
+                centers[imid] = im.pose.center()
+                reg[imid] = True
+        keep = reg[o_im]
+        o_pid, o_im = o_pid[keep], o_im[keep]
+        if len(o_pid) == 0:
+            return out
+        lookup = np.full(int(pids.max()) + 1, -1, np.int64)
+        lookup[pids] = np.arange(len(pids))
+        li = lookup[o_pid]
+        rays = self.xyz[o_pid] - centers[o_im]
+        rays /= np.maximum(np.linalg.norm(rays, axis=-1, keepdims=True), 1e-12)
+        counts = np.bincount(li, minlength=len(pids))
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        # observations are grouped by point in pids order already (store
+        # iteration order); rays/starts/counts index that grouped stream.
+        by_len = np.argsort(counts, kind="stable")
+        sorted_counts = counts[by_len]
+        i = int(np.searchsorted(sorted_counts, 2))  # skip tracks with <2 registered obs
+        budget = 40_000_000  # floats of (n, K, K) temp
+        while i < len(pids):
+            K = int(sorted_counts[i])
+            j = int(np.searchsorted(sorted_counts, K, side="right"))
+            step = max(int(budget // (K * K)), 1)
+            for a in range(i, j, step):
+                sel = by_len[a : min(a + step, j)]
+                idx = starts[sel][:, None] + np.arange(K)[None, :]
+                R = rays[idx].astype(np.float32)  # (n, K, 3)
+                dots = np.abs(np.einsum("nkd,nld->nkl", R, R))
+                iu = np.triu_indices(K, 1)
+                mind = dots[:, iu[0], iu[1]].min(axis=1)
+                out[sel] = np.rad2deg(np.arccos(np.clip(mind, -1, 1)))
+            i = j
         return out
 
     def find_points3D_with_small_triangulation_angle(self, min_angle, point3D_ids):
@@ -461,15 +609,18 @@ class Reconstruction:
 
     # --- covisibility / local bundles ---
     def shared_point_counts(self, refimid: int):
-        """#3D points shared with each other registered image."""
+        """#3D points shared with each other registered image (vectorized
+        membership via a pool-sized mark array)."""
         ref = self.images[refimid]
-        ref_pids = set(ref.point3D_ids[ref.point3D_ids >= 0].tolist())
+        ref_pids = ref.point3D_ids[ref.point3D_ids >= 0]
+        mark = np.zeros(len(self.alive), bool)
+        mark[ref_pids] = True
         counts = {}
         for imid, im in self.registered_images.items():
             if imid == refimid:
                 continue
             pids = im.point3D_ids[im.point3D_ids >= 0]
-            counts[imid] = sum(1 for p in pids.tolist() if p in ref_pids)
+            counts[imid] = int(mark[pids].sum())
         return counts
 
     def find_local_bundle_ids(self, refimid: int, num_images: int | None = None):

@@ -21,13 +21,24 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from mpsfm_tpu.ba.solver import BAData, _assemble, _segment_sum, inv3x3
+from mpsfm_tpu.ba.solver import (
+    BAData,
+    _assemble,
+    _cam_reduce_last,
+    _seg_reduce_last,
+    inv3x3,
+)
 from mpsfm_tpu.ba import losses
 
 
 @partial(jax.jit, static_argnames=())
 def point_covariances(data: BAData):
-    """Returns (P,3,3) covariances for all (padded) points."""
+    """Returns (P,3,3) covariances for all (padded) points.
+
+    Reductions are gather-only (TPU scatter-add is serialized): Hcc via
+    camera-major reshape-sums, Hpp via the point slot tables, and T via
+    the per-(point,camera) slot table when present — the same layout
+    tricks as solver._assemble_ne."""
     C = data.quat.shape[0]
     P = data.xyz.shape[0]
     dtype = data.xyz.dtype
@@ -36,11 +47,13 @@ def point_covariances(data: BAData):
     J_r, w_r = asm["J_r"], asm["w_r"]  # J_r (2,9,No) observation-major
     Jc, Jp = J_r[:, :6], J_r[:, 6:]
 
-    Hcc_blocks = _segment_sum(
-        jnp.einsum("rin,rjn->nij", Jc * w_r, Jc), data.r_cam, C
-    )
-    Hpp = _segment_sum(jnp.einsum("rin,rjn->nij", Jp * w_r, Jp), data.r_pt, P)
-    W = jnp.einsum("rin,rjn->nij", Jc * w_r, Jp)  # (No,6,3)
+    # Hcc (C,6,6): camera-major lane reduce — obs rows [c*S,(c+1)*S) per cam
+    hcc_rows = jnp.einsum("rin,rjn->ijn", Jc * w_r, Jc)  # (6,6,No)
+    Hcc_blocks = _cam_reduce_last(hcc_rows, C).transpose(2, 0, 1)  # (C,6,6)
+    # Hpp (P,3,3): slot-table gather reduce
+    prow = jnp.einsum("rin,rjn->ijn", Jp * w_r, Jp)  # (3,3,No)
+    Hpp = _seg_reduce_last(prow, data.r_pt_slots, data.r_pt_slot_mask).transpose(2, 0, 1)
+    W_rows = jnp.einsum("rin,rjn->nij", Jc * w_r, Jp)  # (No,6,3)
 
     frozen = 1.0 - data.cam_dof
     eye6 = jnp.eye(6, dtype=dtype)
@@ -53,18 +66,26 @@ def point_covariances(data: BAData):
         * jnp.eye(3, dtype=dtype)
     )
 
-    # T (P, 6C, 3): per-point stacked coupling columns (scatter W into cam rows).
-    No = W.shape[0]
-    flat_rows = (data.r_cam[:, None] * 6 + jnp.arange(6)[None, :]).reshape(-1)  # (No*6,)
-    flat_pt = jnp.repeat(data.r_pt, 6)
-    Wflat = W.reshape(No * 6, 3)
-    T = jnp.zeros((P, 6 * C, 3), dtype).at[flat_pt, flat_rows].add(Wflat)
+    # T (P, 6C, 3): per-point stacked coupling columns.
+    if data.pc_r_slot is not None:
+        T = (W_rows.reshape(-1, 18)[data.pc_r_slot] * data.pc_r_mask[..., None]).reshape(
+            P, C * 6, 3
+        )
+    else:
+        No = W_rows.shape[0]
+        flat_rows = (data.r_cam[:, None] * 6 + jnp.arange(6)[None, :]).reshape(-1)  # (No*6,)
+        flat_pt = jnp.repeat(data.r_pt, 6)
+        Wflat = W_rows.reshape(No * 6, 3)
+        T = jnp.zeros((P, 6 * C, 3), dtype).at[flat_pt, flat_rows].add(Wflat)
 
     Hcc = jnp.zeros((6 * C, 6 * C), dtype)
     ii = jnp.arange(C)
     Hcc = Hcc.reshape(C, 6, C, 6).at[ii, :, ii, :].set(Hcc_blocks).reshape(6 * C, 6 * C)
     TB = jnp.einsum("pkj,pjl->pkl", T, Binv)  # (P,6C,3)
-    S = Hcc - jnp.einsum("pkl,pml->pkm", TB, T).sum(0)
+    S_red = jax.lax.dot_general(
+        TB, T, (((0, 2), (0, 2)), ((), ())), preferred_element_type=dtype
+    )  # (6C,6C), one MXU contraction
+    S = Hcc - S_red
 
     # Solve S X = T_p B_p⁻¹ for all points at once.
     chol = jax.scipy.linalg.cho_factor(S + 1e-8 * jnp.eye(6 * C, dtype=dtype))

@@ -65,7 +65,8 @@ class DenseBAData(NamedTuple):
     cy: jnp.ndarray
     xyz: jnp.ndarray  # (P,3)
     point_var: jnp.ndarray  # (P,)
-    uv: jnp.ndarray  # (C,P,2) observed keypoint
+    uv_x: jnp.ndarray  # (C,P) observed keypoint x
+    uv_y: jnp.ndarray  # (C,P) observed keypoint y
     r_w: jnp.ndarray  # (C,P) magnitude * valid (1/kp_std², 0 if absent)
     r_scale: jnp.ndarray  # (C,P) robust loss scale
     d_logt: jnp.ndarray  # (C,P) log prior depth target
@@ -89,8 +90,8 @@ def _cost_only(data: DenseBAData, quat, t, xyz, reproj_loss: int, depth_loss: in
     quat = quat_normalize(quat)
     Rb, tb, px, py, pz = _project(data, quat, t, xyz)
     inv_z = 1.0 / jnp.where(jnp.abs(pz) < 1e-8, 1e-8, pz)
-    ru = data.fx[:, None] * px * inv_z + data.cx[:, None] - data.uv[..., 0]
-    rv = data.fy[:, None] * py * inv_z + data.cy[:, None] - data.uv[..., 1]
+    ru = data.fx[:, None] * px * inv_z + data.cx[:, None] - data.uv_x
+    rv = data.fy[:, None] * py * inv_z + data.cy[:, None] - data.uv_y
     s_r = ru * ru + rv * rv
     cost = (data.r_w * losses.rho(reproj_loss, s_r, data.r_scale)).sum()
     d_res = jnp.log(jnp.maximum(pz, 1e-8)) - data.d_logt
@@ -109,8 +110,8 @@ def _assemble_ne_dense(data: DenseBAData, quat, t, xyz, reproj_loss: int, depth_
     pzs = jnp.where(jnp.abs(pz) < 1e-8, 1e-8, pz)
     inv_z = 1.0 / pzs
     fxb, fyb = data.fx[:, None], data.fy[:, None]
-    ru = fxb * px * inv_z + data.cx[:, None] - data.uv[..., 0]
-    rv = fyb * py * inv_z + data.cy[:, None] - data.uv[..., 1]
+    ru = fxb * px * inv_z + data.cx[:, None] - data.uv_x
+    rv = fyb * py * inv_z + data.cy[:, None] - data.uv_y
     s_r = ru * ru + rv * rv
     w_r = data.r_w * losses.rho_prime(reproj_loss, s_r, data.r_scale)
 
@@ -328,7 +329,8 @@ def densify(data, C: int, P: int) -> DenseBAData:
         cy=jnp.asarray(data.cy),
         xyz=jnp.asarray(data.xyz),
         point_var=jnp.asarray(data.point_var),
-        uv=jnp.asarray(uv),
+        uv_x=jnp.asarray(uv[..., 0]),
+        uv_y=jnp.asarray(uv[..., 1]),
         r_w=jnp.asarray(r_w),
         r_scale=jnp.asarray(r_scale),
         d_logt=jnp.asarray(d_logt),

@@ -59,7 +59,12 @@ def build_ba_data(
     use_depth: bool = True,
     local_variable_track_max: int = 15,
     dtype=np.float32,
+    representation: str = "both",
 ) -> BAProblem:
+    """representation selects which device arrays are uploaded:
+    "both" (legacy), "solve" (dense grids when C·P fits, else sparse),
+    "sparse" (observation tables + slot/pc tables only — the covariance
+    path). On a tunneled TPU the redundant upload is pure latency."""
     optim_ids = sorted(bundle["optim_ids"])
     pts3D = set(int(p) for p in bundle.get("pts3D", set()))
     constpoints = set(int(p) for p in bundle.get("constpoints", set()))
@@ -211,31 +216,13 @@ def build_ba_data(
     r_cam = np.minimum(np.arange(No, dtype=np.int32) // Sc, Cb - 1)
     d_cam = np.minimum(np.arange(Nd, dtype=np.int32) // Sdc, Cb - 1)
 
-    r_pt_slots, r_pt_mask = make_slot_tables(r_pt[r_valid > 0], Pb)
-    # remap slot indices back to padded positions
-    valid_pos = np.where(r_valid > 0)[0]
-    r_pt_slots = valid_pos[r_pt_slots].astype(np.int32) if len(valid_pos) else r_pt_slots
-    dvalid_pos = np.where(d_valid > 0)[0]
-    d_pt_slots, d_pt_mask = make_slot_tables(d_pt[d_valid > 0], Pb)
-    d_pt_slots = dvalid_pos[d_pt_slots].astype(np.int32) if len(dvalid_pos) else d_pt_slots
-
-    # Per-(point,camera) coupling tables for the dense-Schur path; skipped
-    # when the (Pb, Cb, 6, 3) T tensor would be too large (PCG path then).
-    pc = {}
-    if Pb * Cb <= 8_000_000:
-        pc_r_slot, pc_r_mask = make_pc_tables(r_pt, r_valid, Pb, Cb, Sc)
-        pc_d_slot, pc_d_mask = make_pc_tables(d_pt, d_valid, Pb, Cb, Sdc)
-        if pc_r_slot is not None and pc_d_slot is not None:
-            pc = dict(
-                pc_r_slot=jnp.asarray(pc_r_slot),
-                pc_r_mask=jnp.asarray(pc_r_mask),
-                pc_d_slot=jnp.asarray(pc_d_slot),
-                pc_d_mask=jnp.asarray(pc_d_mask),
-            )
+    dense_ok = Pb * Cb <= 8_000_000
+    want_dense = representation in ("both", "solve") and dense_ok
+    want_sparse = representation in ("both", "sparse") or not dense_ok
 
     quat_p = _pad_to(quat, Cb)
     quat_p[C:, 0] = 1.0  # identity quats for padded cameras (zero NaNs normalize)
-    data = BAData(
+    shared = dict(
         quat=jnp.asarray(quat_p),
         t=jnp.asarray(_pad_to(t, Cb)),
         cam_dof=jnp.asarray(_pad_to(cam_dof, Cb)),
@@ -245,48 +232,75 @@ def build_ba_data(
         cy=jnp.asarray(_pad_to(cy, Cb)),
         xyz=jnp.asarray(_pad_to(xyz, Pb)),
         point_var=jnp.asarray(_pad_to(point_var, Pb)),
-        r_cam=jnp.asarray(r_cam),
-        r_pt=jnp.asarray(r_pt),
-        r_uv=jnp.asarray(r_uv),
-        r_valid=jnp.asarray(r_valid),
-        r_mag=jnp.asarray(np.full(No, reproj_mag, dtype)),
-        r_scale=jnp.asarray(np.full(No, reproj_scale, dtype)),
-        d_cam=jnp.asarray(d_cam),
-        d_pt=jnp.asarray(d_pt),
-        d_logtarget=jnp.asarray(d_log),
-        d_valid=jnp.asarray(d_valid),
-        d_mag=jnp.asarray(d_mag_arr),
-        d_scale=jnp.asarray(d_scale_arr),
-        r_pt_slots=jnp.asarray(r_pt_slots),
-        r_pt_slot_mask=jnp.asarray(r_pt_mask),
-        d_pt_slots=jnp.asarray(d_pt_slots),
-        d_pt_slot_mask=jnp.asarray(d_pt_mask),
-        **pc,
     )
+
+    data = None
+    if want_sparse:
+        r_pt_slots, r_pt_mask = make_slot_tables(r_pt[r_valid > 0], Pb)
+        # remap slot indices back to padded positions
+        valid_pos = np.where(r_valid > 0)[0]
+        r_pt_slots = valid_pos[r_pt_slots].astype(np.int32) if len(valid_pos) else r_pt_slots
+        dvalid_pos = np.where(d_valid > 0)[0]
+        d_pt_slots, d_pt_mask = make_slot_tables(d_pt[d_valid > 0], Pb)
+        d_pt_slots = dvalid_pos[d_pt_slots].astype(np.int32) if len(dvalid_pos) else d_pt_slots
+
+        # Per-(point,camera) coupling tables for the dense-Schur path;
+        # skipped when the (Pb, Cb, 6, 3) T tensor would be too large.
+        pc = {}
+        if dense_ok:
+            pc_r_slot, pc_r_mask = make_pc_tables(r_pt, r_valid, Pb, Cb, Sc)
+            pc_d_slot, pc_d_mask = make_pc_tables(d_pt, d_valid, Pb, Cb, Sdc)
+            if pc_r_slot is not None and pc_d_slot is not None:
+                pc = dict(
+                    pc_r_slot=jnp.asarray(pc_r_slot),
+                    pc_r_mask=jnp.asarray(pc_r_mask),
+                    pc_d_slot=jnp.asarray(pc_d_slot),
+                    pc_d_mask=jnp.asarray(pc_d_mask),
+                )
+
+        data = BAData(
+            **shared,
+            r_cam=jnp.asarray(r_cam),
+            r_pt=jnp.asarray(r_pt),
+            r_uv=jnp.asarray(r_uv),
+            r_valid=jnp.asarray(r_valid),
+            r_mag=jnp.asarray(np.full(No, reproj_mag, dtype)),
+            r_scale=jnp.asarray(np.full(No, reproj_scale, dtype)),
+            d_cam=jnp.asarray(d_cam),
+            d_pt=jnp.asarray(d_pt),
+            d_logtarget=jnp.asarray(d_log),
+            d_valid=jnp.asarray(d_valid),
+            d_mag=jnp.asarray(d_mag_arr),
+            d_scale=jnp.asarray(d_scale_arr),
+            r_pt_slots=jnp.asarray(r_pt_slots),
+            r_pt_slot_mask=jnp.asarray(r_pt_mask),
+            d_pt_slots=jnp.asarray(d_pt_slots),
+            d_pt_slot_mask=jnp.asarray(d_pt_mask),
+            **pc,
+        )
     dense = None
-    if Pb * Cb <= 8_000_000:
+    if want_dense:
         from mpsfm_tpu.ba.dense import DenseBAData
 
-        uv_g = np.zeros((Cb, Pb, 2), dtype)
-        rw_g = np.zeros((Cb, Pb), dtype)
-        rs_g = np.ones((Cb, Pb), dtype)
+        # pack all seven (Cb,Pb) observation grids into ONE upload
+        grids = np.zeros((7, Cb, Pb), dtype)
+        grids[3] += 1.0  # r_scale default
+        grids[6] += 1.0  # d_scale default
         v = r_valid > 0
-        uv_g[r_cam[v], r_pt[v]] = r_uv[v]
-        rw_g[r_cam[v], r_pt[v]] = reproj_mag
-        rs_g[r_cam[v], r_pt[v]] = reproj_scale
-        dl_g = np.zeros((Cb, Pb), dtype)
-        dw_g = np.zeros((Cb, Pb), dtype)
-        ds_g = np.ones((Cb, Pb), dtype)
+        grids[0][r_cam[v], r_pt[v]] = r_uv[v, 0]
+        grids[1][r_cam[v], r_pt[v]] = r_uv[v, 1]
+        grids[2][r_cam[v], r_pt[v]] = reproj_mag
+        grids[3][r_cam[v], r_pt[v]] = reproj_scale
         vd = d_valid > 0
-        dl_g[d_cam[vd], d_pt[vd]] = d_log[vd]
-        dw_g[d_cam[vd], d_pt[vd]] = d_mag_arr[vd]
-        ds_g[d_cam[vd], d_pt[vd]] = d_scale_arr[vd]
+        grids[4][d_cam[vd], d_pt[vd]] = d_log[vd]
+        grids[5][d_cam[vd], d_pt[vd]] = d_mag_arr[vd]
+        grids[6][d_cam[vd], d_pt[vd]] = d_scale_arr[vd]
+        grids_dev = jnp.asarray(grids)
         dense = DenseBAData(
-            quat=data.quat, t=data.t, cam_dof=data.cam_dof,
-            fx=data.fx, fy=data.fy, cx=data.cx, cy=data.cy,
-            xyz=data.xyz, point_var=data.point_var,
-            uv=jnp.asarray(uv_g), r_w=jnp.asarray(rw_g), r_scale=jnp.asarray(rs_g),
-            d_logt=jnp.asarray(dl_g), d_w=jnp.asarray(dw_g), d_scale=jnp.asarray(ds_g),
+            **shared,
+            uv_x=grids_dev[0], uv_y=grids_dev[1],
+            r_w=grids_dev[2], r_scale=grids_dev[3],
+            d_logt=grids_dev[4], d_w=grids_dev[5], d_scale=grids_dev[6],
         )
     return BAProblem(
         data=data, cam_ids=cam_ids, pt_ids=np.asarray(all_pts, np.int64),

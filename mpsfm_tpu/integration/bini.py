@@ -219,6 +219,52 @@ def bini_energy(inp: BiniInputs, p: BiniParams):
     return _energy(inp, p, inp.z0, wx, wy, mxp, mxm, myp, mym)
 
 
+# ---- packed transport: one (num_fields, H, W) device array per problem ----
+#
+# On a tunneled backend every host->device transfer costs tens of ms of
+# latency; uploading the 11 BiniInputs fields separately dominated the
+# mapping loop. All fields share the (H, W) shape, so the host packs them
+# into one float32 array ((B,)11,H,W) and the jitted entry points unpack
+# by static row index inside the program (free slices on device).
+
+N_FIELDS = len(BiniInputs._fields)
+
+
+def pack_inputs(inp: BiniInputs) -> np.ndarray:
+    """Host-side: BiniInputs (numpy or device fields) -> (11,H,W) float32."""
+    return np.stack([np.asarray(f, np.float32) for f in inp])
+
+
+def pack_many(inputs_list) -> np.ndarray:
+    """Host-side: list of same-shape BiniInputs -> (B,11,H,W) float32."""
+    return np.stack([pack_inputs(i) for i in inputs_list])
+
+
+def _unpack(packed) -> BiniInputs:
+    return BiniInputs(*[packed[i] for i in range(N_FIELDS)])
+
+
+@partial(jax.jit, static_argnames=("p",))
+def bini_solve_packed(packed, p: BiniParams):
+    return _bini_solve_impl(_unpack(packed), p)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def bini_energy_packed(packed, p: BiniParams):
+    return _energy_at_z0(_unpack(packed), p)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def bini_solve_batch_packed(packed, p: BiniParams):
+    """packed: (B,11,H,W) — vmapped solve over the bundle."""
+    return jax.vmap(lambda q: _bini_solve_impl(_unpack(q), p))(packed)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def bini_energy_batch_packed(packed, p: BiniParams):
+    return jax.vmap(lambda q: _energy_at_z0(_unpack(q), p))(packed)
+
+
 def _bini_solve_impl(inp: BiniInputs, p: BiniParams):
     """IRLS + Jacobi-PCG solve. Returns (z, info).
 
@@ -311,6 +357,23 @@ def diag_inverse_at(inp: BiniInputs, p: BiniParams, z, rows, cols, chunk: int = 
     Hessian uses the converged weights at z. Returns (K,) variances of
     log-depth.
     """
+    return _diag_inverse_at_impl(inp, p, z, rows, cols, chunk)
+
+
+@partial(jax.jit, static_argnames=("p", "chunk"))
+def diag_inverse_at_batch(packed, p: BiniParams, rows, cols, chunk: int = 128):
+    """Per-bundle uncertainty propagation in ONE device program.
+
+    packed: (B,11,H,W) packed BiniInputs (z0 = the converged log depth),
+    rows/cols: (B,Kp) padded query indices. Returns (B,Kp) log-depth
+    variances — the whole bundle's diag(H⁻¹) queries vmapped together.
+    """
+    return jax.vmap(
+        lambda q, r, c: _diag_inverse_at_impl(_unpack(q), p, q[0], r, c, chunk)
+    )(packed, rows, cols)
+
+
+def _diag_inverse_at_impl(inp: BiniInputs, p: BiniParams, z, rows, cols, chunk: int = 128):
     shape = inp.z0.shape
     dtype = inp.z0.dtype
     mxp, mxm, myp, mym = _masks(shape, dtype)
@@ -434,18 +497,20 @@ def build_integration_inputs(
         z_sparse[ys, xs] = np.log(np.clip(d3, 1e-8, None))
 
     z0 = np.log(np.clip(depth_prior if z_init is None else z_init, 1e-8, None))
+    # Host numpy fields: callers pack them into ONE (11,H,W) transfer
+    # (pack_inputs) instead of 11 separate device uploads.
     return BiniInputs(
-        z0=jnp.asarray(z0, dtype),
-        c_x=jnp.asarray(c_x, dtype),
-        c_y=jnp.asarray(c_y, dtype),
-        nx=jnp.asarray(nx, dtype),
-        ny=jnp.asarray(ny, dtype),
-        prec_x=jnp.asarray(prec_x, dtype),
-        prec_y=jnp.asarray(prec_y, dtype),
-        prec_prior=jnp.asarray(prec_prior, dtype),
-        z_prior=jnp.asarray(z_prior, dtype),
-        prec_sparse=jnp.asarray(prec_sparse, dtype),
-        z_sparse=jnp.asarray(z_sparse, dtype),
+        z0=np.asarray(z0, dtype),
+        c_x=np.asarray(c_x, dtype),
+        c_y=np.asarray(c_y, dtype),
+        nx=np.asarray(nx, dtype),
+        ny=np.asarray(ny, dtype),
+        prec_x=np.asarray(prec_x, dtype),
+        prec_y=np.asarray(prec_y, dtype),
+        prec_prior=np.asarray(prec_prior, dtype),
+        z_prior=np.asarray(z_prior, dtype),
+        prec_sparse=np.asarray(prec_sparse, dtype),
+        z_sparse=np.asarray(z_sparse, dtype),
     )
 
 
@@ -485,8 +550,13 @@ class Integrator:
         return np.exp(np.asarray(z, np.float64)), True
 
     def integrate(self, inputs: BiniInputs):
-        """Returns (depth (H,W) np.float64, changed: bool)."""
-        if not self.should_refine(inputs):
-            return None, False
-        z, info = bini_solve(inputs, self.params)
+        """Returns (depth (H,W) np.float64, changed: bool).
+
+        Uploads the problem as ONE packed (11,H,W) array; the energy-skip
+        test and the solve both read the same device copy."""
+        packed = jnp.asarray(pack_inputs(inputs))
+        if self.integrated and self.energy_old is not None:
+            if not self.should_refine_energy(float(bini_energy_packed(packed, self.params))):
+                return None, False
+        z, info = bini_solve_packed(packed, self.params)
         return self.accept(z, float(info["energy"]), bool(info["aborted"]))

@@ -303,9 +303,16 @@ class MpsfmMapper(BaseClass):
             changed_map = integrate_bundle_batched(pris)
         else:
             changed_map = {p.imid: p.integrate() for p in pris}
-        for pri in pris:
-            if self.conf.int_covs and changed_map.get(pri.imid) and self.first_refinement:
-                pri.calculate_int_covs_at_kps()
+        need_covs = [
+            pri
+            for pri in pris
+            if self.conf.int_covs and changed_map.get(pri.imid) and self.first_refinement
+        ]
+        if need_covs:
+            from mpsfm_tpu.scene.image_priors import int_covs_bundle_batched
+
+            with TIMERS.phase("int_covs_at_kps"):
+                int_covs_bundle_batched(need_covs)
         if not self.conf.int_covs_every_iter:
             self.first_refinement = False
       return True

@@ -52,6 +52,7 @@ class Optimizer(BaseClass):
             allow_scale_filter=allow_scale_filter and self.conf.scale_filter,
             scale_filter_factor=self.conf.scale_filter_factor,
             use_depth=self.conf.use_depth,
+            representation="solve",  # upload only the arrays the solver reads
         )
         if prob.dense is not None:
             from mpsfm_tpu.ba.dense import solve_ba_dense
@@ -109,7 +110,9 @@ class Optimizer(BaseClass):
         )
 
     def calculate_point_covs(self, bundle):
-        prob = build_ba_data(self.rec, bundle, mode="global", use_depth=False)
+        prob = build_ba_data(
+            self.rec, bundle, mode="global", use_depth=False, representation="sparse"
+        )
         try:
             _calc_covs(self.rec, prob)
         except ValueError:

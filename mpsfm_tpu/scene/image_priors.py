@@ -19,7 +19,6 @@ from mpsfm_tpu.integration.bini import (
     BiniParams,
     Integrator,
     build_integration_inputs,
-    diag_inverse_at,
 )
 from mpsfm_tpu.scene.priors import Depth, Normals
 
@@ -171,17 +170,22 @@ class ImagePriors(BaseClass):
     def integrate(self, **kw):
         """Refine the working depth map. Returns True when changed
         (reference Image.integrate, integration.py:133-137)."""
+        from mpsfm_tpu.utils.profiling import TIMERS
+
         assert self.rec.images[self.imid].registered and self.depth.activated
-        inputs = self.build_inputs()
+        with TIMERS.phase("bini.build_inputs"):
+            inputs = self.build_inputs()
         self._last_inputs = inputs
-        depth_new, changed = self.integrator.integrate(inputs)
+        with TIMERS.phase("bini.integrate1"):
+            depth_new, changed = self.integrator.integrate(inputs)
         if changed and depth_new is not None:
             self.depth.data = depth_new
         return changed
 
-    def calculate_int_covs_at_kps(self, pts2d=None):
-        """Propagate diag(H⁻¹) to per-keypoint depth variances
-        (reference calculate_int_covs_at_kps, integration.py:604-616)."""
+    def _int_cov_query(self, pts2d=None):
+        """(inputs, rows, cols, K, kps_sel, pts2d, params) for the diag(H⁻¹)
+        queries at (a subset of) this image's keypoints on the downscaled
+        integration grid."""
         rec = self.rec
         cam = rec.camera(self.imid)
         kps = rec.images[self.imid].keypoints
@@ -190,7 +194,6 @@ class ImagePriors(BaseClass):
         kps_sel = kps[pts2d]
         ds = self.conf.downscale_factor if self.conf.downscaled else 1
         inputs = self.build_inputs(downscale=ds)
-        z = inputs.z0
         params = self.integrator.params._replace(cg_max_iter=int(self.conf.cov_cg_iters))
         gx = np.clip(
             np.round(kps_sel[:, 0] * cam.sx / ds).astype(np.int32), 0, inputs.z0.shape[1] - 1
@@ -198,21 +201,30 @@ class ImagePriors(BaseClass):
         gy = np.clip(
             np.round(kps_sel[:, 1] * cam.sy / ds).astype(np.int32), 0, inputs.z0.shape[0] - 1
         )
-        # pad the query count to a chunk multiple on the host so distinct
-        # keypoint counts share one compiled program
-        K = len(gx)
-        Kp = ((K + 127) // 128) * 128
-        gxp = np.zeros(Kp, np.int32)
-        gyp = np.zeros(Kp, np.int32)
-        gxp[:K], gyp[:K] = gx, gy
-        varlog = np.asarray(
-            diag_inverse_at(inputs, params, z, jnp.asarray(gyp), jnp.asarray(gxp))
-        )[:K]
+        return inputs, gy, gx, len(gx), kps_sel, np.asarray(pts2d), params
+
+    def _apply_int_covs(self, varlog, kps_sel, pts2d):
         d_prior = self.depth.data_prior_at_kps(kps_sel)
         var = varlog * d_prior**2  # var(log d) -> var(d)
-        for kp, v in zip(np.asarray(pts2d), var):
+        for kp, v in zip(pts2d, var):
             self.depth.uncertainty_update[int(kp)] = float(max(v, 1e-12))
         return var
+
+    def calculate_int_covs_at_kps(self, pts2d=None):
+        """Propagate diag(H⁻¹) to per-keypoint depth variances
+        (reference calculate_int_covs_at_kps, integration.py:604-616)."""
+        from mpsfm_tpu.integration.bini import diag_inverse_at_batch, pack_inputs
+
+        inputs, gy, gx, K, kps_sel, pts2d, params = self._int_cov_query(pts2d)
+        # pad the query count to a chunk multiple on the host so distinct
+        # keypoint counts share one compiled program
+        Kp = ((K + 127) // 128) * 128
+        rows = np.zeros((1, Kp), np.int32)
+        cols = np.zeros((1, Kp), np.int32)
+        rows[0, :K], cols[0, :K] = gy, gx
+        packed = jnp.asarray(pack_inputs(inputs)[None])
+        varlog = np.asarray(diag_inverse_at_batch(packed, params, rows, cols))[0, :K]
+        return self._apply_int_covs(varlog, kps_sel, pts2d)
 
 
 def integrate_bundle_batched(pris) -> dict:
@@ -221,26 +233,31 @@ def integrate_bundle_batched(pris) -> dict:
     the images that need it (SURVEY §7.1 — replaces the reference's
     per-image loop, mapper/base.py:619-631). Returns {imid: changed}.
 
-    Images are grouped by integration-grid shape + params; the refine
-    subset is padded to a power-of-two bucket to bound compile variants.
+    Images are grouped by integration-grid shape + params; each group is
+    uploaded as ONE packed (B,11,H,W) array (a single host→device
+    transfer — critical on tunneled backends); the refine subset is
+    padded to a power-of-two bucket to bound compile variants.
     """
-    import jax.numpy as jnp
-
-    from mpsfm_tpu.integration.bini import BiniInputs, bini_energy_batch, bini_solve_batch
+    from mpsfm_tpu.integration.bini import (
+        bini_energy_batch_packed,
+        bini_solve_batch_packed,
+        pack_many,
+    )
+    from mpsfm_tpu.utils.profiling import TIMERS
 
     changed: dict = {}
     groups: dict = {}
-    for pri in pris:
-        inputs = pri.build_inputs()
-        pri._last_inputs = inputs
-        key = (inputs.z0.shape, pri.integrator.params)
-        groups.setdefault(key, []).append((pri, inputs))
+    with TIMERS.phase("bini.build_inputs"):
+        for pri in pris:
+            inputs = pri.build_inputs()
+            pri._last_inputs = inputs
+            key = (inputs.z0.shape, pri.integrator.params)
+            groups.setdefault(key, []).append((pri, inputs))
 
     for (shape, params), entries in groups.items():
-        stacked = BiniInputs(
-            *[jnp.stack([getattr(inp, f) for _, inp in entries]) for f in BiniInputs._fields]
-        )
-        energies = np.asarray(bini_energy_batch(stacked, params))
+        packed = jnp.asarray(pack_many([inp for _, inp in entries]))
+        with TIMERS.phase("bini.energy_batch"):
+            energies = np.asarray(bini_energy_batch_packed(packed, params))
         todo = [
             k for k, (pri, _) in enumerate(entries)
             if pri.integrator.should_refine_energy(float(energies[k]))
@@ -254,9 +271,10 @@ def integrate_bundle_batched(pris) -> dict:
         while B < len(todo):
             B *= 2
         idxs = jnp.asarray(todo + [todo[0]] * (B - len(todo)), jnp.int32)
-        sub = BiniInputs(*[f[idxs] for f in stacked])
-        z, info = bini_solve_batch(sub, params)
-        z = np.asarray(z)
+        sub = packed[idxs]  # device-side gather, no re-upload
+        with TIMERS.phase("bini.solve_batch"):
+            z, info = bini_solve_batch_packed(sub, params)
+            z = np.asarray(z)
         e_arr = np.asarray(info["energy"])
         ab_arr = np.asarray(info["aborted"])
         for pos, k in enumerate(todo):
@@ -266,3 +284,31 @@ def integrate_bundle_batched(pris) -> dict:
                 pri.depth.data = depth_new
             changed[pri.imid] = ch
     return changed
+
+
+def int_covs_bundle_batched(pris) -> None:
+    """Whole-bundle uncertainty propagation in one device program per
+    grid-shape group: packs every image's (downscaled) integration problem
+    into a (B,11,h,w) array and runs diag(H⁻¹) indicator solves vmapped
+    over the bundle (replaces the reference's per-image cholespy loop,
+    integration.py:604-616 called from mapper/base.py)."""
+    from mpsfm_tpu.integration.bini import diag_inverse_at_batch, pack_many
+
+    groups: dict = {}
+    for pri in pris:
+        q = pri._int_cov_query()
+        key = (q[0].z0.shape, q[6])
+        groups.setdefault(key, []).append((pri, q))
+
+    for (shape, params), entries in groups.items():
+        Kmax = max(q[3] for _, q in entries)
+        Kp = max(128, ((Kmax + 127) // 128) * 128)
+        B = len(entries)
+        rows = np.zeros((B, Kp), np.int32)
+        cols = np.zeros((B, Kp), np.int32)
+        for b, (_, (inputs, gy, gx, K, _, _, _)) in enumerate(entries):
+            rows[b, :K], cols[b, :K] = gy, gx
+        packed = jnp.asarray(pack_many([q[0] for _, q in entries]))
+        varlog = np.asarray(diag_inverse_at_batch(packed, params, rows, cols))
+        for b, (pri, (_, _, _, K, kps_sel, pts2d, _)) in enumerate(entries):
+            pri._apply_int_covs(varlog[b, :K], kps_sel, pts2d)

@@ -222,17 +222,32 @@ def bini_energy(inp: BiniInputs, p: BiniParams):
 # ---- packed transport: one (num_fields, H, W) device array per problem ----
 #
 # On a tunneled backend every host->device transfer costs tens of ms of
-# latency; uploading the 11 BiniInputs fields separately dominated the
-# mapping loop. All fields share the (H, W) shape, so the host packs them
-# into one float32 array ((B,)11,H,W) and the jitted entry points unpack
-# by static row index inside the program (free slices on device).
+# latency AND bandwidth; uploading the 11 BiniInputs fields separately
+# dominated the mapping loop. All fields share the (H, W) shape, so the
+# host packs them into one float32 array ((B,)11,H,W) and the jitted
+# entry points unpack by static row index inside the program (free slices
+# on device).
+#
+# The transport row ORDER groups fields by mutation rate so callers can
+# cache the packed array on device and re-upload only a leading slice:
+#   rows 0-2  DYNAMIC  (z0, prec_sparse, z_sparse)  — change every call
+#   rows 3-4  PRIOR    (prec_prior, z_prior)        — change on rescale
+#   rows 5-10 STATIC   (c_x, c_y, nx, ny, prec_x, prec_y) — never change
 
 N_FIELDS = len(BiniInputs._fields)
+TRANSPORT_ORDER = (
+    "z0", "prec_sparse", "z_sparse",  # dynamic
+    "prec_prior", "z_prior",  # prior-versioned
+    "c_x", "c_y", "nx", "ny", "prec_x", "prec_y",  # static
+)
+N_DYN = 3
+N_DYN_PRIOR = 5
 
 
 def pack_inputs(inp: BiniInputs) -> np.ndarray:
-    """Host-side: BiniInputs (numpy or device fields) -> (11,H,W) float32."""
-    return np.stack([np.asarray(f, np.float32) for f in inp])
+    """Host-side: BiniInputs (numpy or device fields) -> (11,H,W) float32
+    in TRANSPORT_ORDER."""
+    return np.stack([np.asarray(getattr(inp, f), np.float32) for f in TRANSPORT_ORDER])
 
 
 def pack_many(inputs_list) -> np.ndarray:
@@ -241,7 +256,74 @@ def pack_many(inputs_list) -> np.ndarray:
 
 
 def _unpack(packed) -> BiniInputs:
-    return BiniInputs(*[packed[i] for i in range(N_FIELDS)])
+    return BiniInputs(**{f: packed[i] for i, f in enumerate(TRANSPORT_ORDER)})
+
+
+# ---- anchor transport: the dynamic rows rebuilt ON DEVICE ----
+#
+# The three dynamic rows are derived from tiny data: z0 is the cached
+# working log-depth (device-resident, moved only by a scalar log-shift
+# under rescale/normalize), and prec/z_sparse are scatter images of a
+# few hundred sparse SfM anchors. Uploading (B, Ka, 4) anchor rows
+# (~tens of KB) instead of (B, 3, H, W) dense grids (~MBs) removes the
+# dominant per-call transfer on tunneled backends. Padded anchor slots
+# carry out-of-range pixel coordinates and are dropped by the scatter.
+
+
+def _assemble_from_anchors(anch1, z0, stat8):
+    """One image: full 11 transport rows from packed anchors + cached
+    z0/static rows. anch1 (5,Ka) float32: [y, x, prec, logz,
+    shifts([4,0]=z0 log-shift, [4,1]=prior log-shift)]; out-of-range
+    coords mark padding (dropped by the scatter). The prior shift moves
+    z_prior by log(s) — the prior precision is scale-invariant in
+    log-depth, so pure rescales never re-upload the prior rows."""
+    H, W = z0.shape
+    ay = anch1[0].astype(jnp.int32)
+    ax = anch1[1].astype(jnp.int32)
+    prec_sparse = jnp.zeros((H, W), z0.dtype).at[ay, ax].max(anch1[2], mode="drop")
+    z_sparse = jnp.zeros((H, W), z0.dtype).at[ay, ax].set(anch1[3], mode="drop")
+    dyn = jnp.stack([z0 + anch1[4, 0], prec_sparse, z_sparse])
+    stat = jnp.concatenate([stat8[0:1], stat8[1:2] + anch1[4, 1], stat8[2:]], 0)
+    return jnp.concatenate([dyn, stat], 0)
+
+
+def _assemble_batch_anchors(anch, pairs):
+    return jnp.stack(
+        [_assemble_from_anchors(anch[b], *pairs[b]) for b in range(len(pairs))]
+    )
+
+
+@partial(jax.jit, static_argnames=("p",))
+def bini_energy_batch_anchors(anch, p: BiniParams, *pairs):
+    """(energies (B,), packed (B,11,H,W)). anch (B,5,Ka) float32 packed
+    anchor rows [y, x, prec, logz, shift] — the ONLY per-call upload;
+    pairs = B × (z0 (H,W), stat8 (8,H,W)) cached device arrays."""
+    packed = _assemble_batch_anchors(anch, pairs)
+    return jax.vmap(lambda q: _energy_at_z0(_unpack(q), p))(packed), packed
+
+
+@partial(jax.jit, static_argnames=("p", "chunk"))
+def diag_inverse_at_batch_anchors(anch, rowcol, p: BiniParams, chunk: int, *pairs):
+    """Anchor-transport variant of diag_inverse_at_batch; rowcol (B,2,Kp)
+    int32 query coordinates."""
+    packed = _assemble_batch_anchors(anch, pairs)
+    return jax.vmap(
+        lambda q, rc: _diag_inverse_at_impl(_unpack(q), p, q[0], rc[0], rc[1], chunk)
+    )(packed, rowcol)
+
+
+@jax.jit
+def take_z(z_batch, pos):
+    """Device-side z_batch[pos] with a traced index — one compile per
+    batch shape (used to seed the per-image z0 cache after a solve)."""
+    return jax.lax.dynamic_index_in_dim(z_batch, pos, 0, keepdims=False)
+
+
+@jax.jit
+def prior_z0(stat8):
+    """z_prior row of the cached static rows — the z0 when the working
+    depth is not activated (log data_prior)."""
+    return stat8[1]
 
 
 @partial(jax.jit, static_argnames=("p",))
@@ -448,18 +530,47 @@ def build_integration_inputs(
     Mirrors process_depth_prior / process_normals_prior / process_sparse_depth
     (reference integration.py:236-288): log-depth precision = d²/var,
     normal precisions from the covariance diagonal, sparse anchors with
-    scale filtering against the prior.
+    scale filtering against the prior. Composed from the three
+    mutation-rate builders below (static / prior / dynamic) so callers
+    with device caches can rebuild only what changed.
     """
-    H, W = depth_prior.shape
-    depth_prior = np.asarray(depth_prior, np.float64)
-    prec_prior = depth_magnitude_multiplier / (np.asarray(depth_uncertainty, np.float64) + 1e-6)
-    prec_prior = prec_prior * depth_prior**2  # var(log d) = var(d)/d²
-    z_prior = np.log(np.clip(depth_prior, 1e-8, None))
+    static6 = build_static6(
+        valid_mask, normals, normal_covs, fx, fy, cx, cy,
+        large_number=large_number,
+        normals_magnitude_multiplier=normals_magnitude_multiplier,
+        dtype=dtype,
+    )
+    prior2 = build_prior2(depth_prior, depth_uncertainty, depth_magnitude_multiplier, dtype)
+    dyn3 = build_dyn3(
+        depth_prior, z_init, sparse_px, sparse_depth, sparse_zvar,
+        scale_filter, scale_filter_factor, dtype,
+    )
+    # Host numpy fields: callers pack them into ONE (11,H,W) transfer
+    # (pack_inputs) instead of 11 separate device uploads.
+    return BiniInputs(
+        z0=dyn3[0],
+        c_x=static6[0],
+        c_y=static6[1],
+        nx=static6[2],
+        ny=static6[3],
+        prec_x=static6[4],
+        prec_y=static6[5],
+        prec_prior=prior2[0],
+        z_prior=prior2[1],
+        prec_sparse=dyn3[1],
+        z_sparse=dyn3[2],
+    )
 
+
+def build_static6(
+    valid_mask, normals, normal_covs, fx, fy, cx, cy,
+    large_number=1e6, normals_magnitude_multiplier=1.0, dtype=np.float32,
+) -> np.ndarray:
+    """STATIC transport rows (6,H,W): [c_x, c_y, nx, ny, prec_x, prec_y].
+    Depend only on the normals prior + camera — computed once per image."""
     n = np.asarray(normals, np.float64)
     nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
-    # Normals point toward the camera (nz<0 under x-right/y-down/z-forward);
-    # flip so c has the right sign regardless of convention.
+    H, W = nx.shape
     Vnx = np.asarray(normal_covs[..., 0, 0], np.float64)
     Vny = np.asarray(normal_covs[..., 1, 1], np.float64)
     Vnz = np.asarray(normal_covs[..., 2, 2], np.float64)
@@ -479,7 +590,27 @@ def build_integration_inputs(
     gy = -ny / c_y
     prec_x = 1.0 / (Vnx * (u * gx + 1.0) ** 2 + Vny * (v * (fx / fy) * gx) ** 2 + Vnz * (fx * gx) ** 2 + 1e-12)
     prec_y = 1.0 / (Vnx * (u * (fy / fx) * gy) ** 2 + Vny * (v * gy + 1.0) ** 2 + Vnz * (fy * gy) ** 2 + 1e-12)
+    return np.stack([c_x, c_y, nx, ny, prec_x, prec_y]).astype(dtype)
 
+
+def build_prior2(depth_prior, depth_uncertainty, depth_magnitude_multiplier=1.0, dtype=np.float32) -> np.ndarray:
+    """PRIOR transport rows (2,H,W): [prec_prior, z_prior]. Change only
+    when the depth prior is rescaled (Depth.version)."""
+    depth_prior = np.asarray(depth_prior, np.float64)
+    prec_prior = depth_magnitude_multiplier / (np.asarray(depth_uncertainty, np.float64) + 1e-6)
+    prec_prior = prec_prior * depth_prior**2  # var(log d) = var(d)/d²
+    z_prior = np.log(np.clip(depth_prior, 1e-8, None))
+    return np.stack([prec_prior, z_prior]).astype(dtype)
+
+
+def build_dyn3(
+    depth_prior, z_init, sparse_px, sparse_depth, sparse_zvar,
+    scale_filter=True, scale_filter_factor=1.5, dtype=np.float32,
+) -> np.ndarray:
+    """DYNAMIC transport rows (3,H,W): [z0, prec_sparse, z_sparse].
+    Rebuilt every call (working depth + current sparse SfM anchors)."""
+    depth_prior = np.asarray(depth_prior, np.float64)
+    H, W = depth_prior.shape
     prec_sparse = np.zeros((H, W))
     z_sparse = np.zeros((H, W))
     if sparse_px is not None and len(sparse_px) > 0:
@@ -495,23 +626,8 @@ def build_integration_inputs(
         prec = (1.0 / zv) * d3**2
         np.maximum.at(prec_sparse, (ys, xs), prec)
         z_sparse[ys, xs] = np.log(np.clip(d3, 1e-8, None))
-
     z0 = np.log(np.clip(depth_prior if z_init is None else z_init, 1e-8, None))
-    # Host numpy fields: callers pack them into ONE (11,H,W) transfer
-    # (pack_inputs) instead of 11 separate device uploads.
-    return BiniInputs(
-        z0=np.asarray(z0, dtype),
-        c_x=np.asarray(c_x, dtype),
-        c_y=np.asarray(c_y, dtype),
-        nx=np.asarray(nx, dtype),
-        ny=np.asarray(ny, dtype),
-        prec_x=np.asarray(prec_x, dtype),
-        prec_y=np.asarray(prec_y, dtype),
-        prec_prior=np.asarray(prec_prior, dtype),
-        z_prior=np.asarray(z_prior, dtype),
-        prec_sparse=np.asarray(prec_sparse, dtype),
-        z_sparse=np.asarray(z_sparse, dtype),
-    )
+    return np.stack([z0, prec_sparse, z_sparse]).astype(dtype)
 
 
 class Integrator:
@@ -550,13 +666,15 @@ class Integrator:
         return np.exp(np.asarray(z, np.float64)), True
 
     def integrate(self, inputs: BiniInputs):
-        """Returns (depth (H,W) np.float64, changed: bool).
+        """Returns (depth (H,W) np.float64, changed: bool)."""
+        return self.integrate_packed(jnp.asarray(pack_inputs(inputs)))
 
-        Uploads the problem as ONE packed (11,H,W) array; the energy-skip
-        test and the solve both read the same device copy."""
-        packed = jnp.asarray(pack_inputs(inputs))
+    def integrate_packed(self, packed):
+        """Same, from an (11,H,W) TRANSPORT_ORDER device array; the
+        energy-skip test and the solve read the same device copy."""
         if self.integrated and self.energy_old is not None:
             if not self.should_refine_energy(float(bini_energy_packed(packed, self.params))):
                 return None, False
         z, info = bini_solve_packed(packed, self.params)
         return self.accept(z, float(info["energy"]), bool(info["aborted"]))
+

@@ -296,13 +296,12 @@ class MpsfmMapper(BaseClass):
       with TIMERS.phase("integrate_bundle"):
         pris = [self._priors(imid) for imid in imids]
         pris = [p for p in pris if p is not None]
-        if len(pris) > 1:
-            # whole-bundle vmapped solve: 2 device calls instead of 2/image
-            from mpsfm_tpu.scene.image_priors import integrate_bundle_batched
+        from mpsfm_tpu.scene.image_priors import integrate_bundle_batched
 
-            changed_map = integrate_bundle_batched(pris)
-        else:
-            changed_map = {p.imid: p.integrate() for p in pris}
+        # whole-bundle anchor-transport solve: ~3 device interactions per
+        # bundle regardless of size (also used for single images — the
+        # B=1 bucket shares the compiled programs)
+        changed_map = integrate_bundle_batched(pris) if pris else {}
         need_covs = [
             pri
             for pri in pris

@@ -41,7 +41,7 @@ class ImagePriors(BaseClass):
         "normals_magnitude_multiplier": 1.0,
         "downscale_factor": 2,
         "downscaled": True,
-        "cov_cg_iters": 150,  # diag(H^-1) indicator solves need less accuracy
+        "cov_cg_iters": 100,  # diag(H^-1) indicator solves need less accuracy
         "scale_filter": True,
         "scale_filter_factor": 1.5,
         "robust_triangles": 2,
@@ -78,7 +78,16 @@ class ImagePriors(BaseClass):
                 tol=float(self.conf.tol),
             )
         )
-        self._last_inputs = None
+        # Device-side transport caches, keyed by downscale factor: the
+        # static rows (normals-derived), prior rows (depth-prior-derived,
+        # keyed by Depth.version), and the working log-depth z0 (keyed by
+        # Depth.data_epoch, moved by a scalar log-shift under rescales)
+        # stay resident on device; per call only the sparse anchor rows
+        # (~KB) travel through the tunnel.
+        self._static6_cache: dict = {}
+        self._prior_cache: dict = {}
+        self._packed_dev: dict = {}
+        self._z0_cache: dict = {}
 
     # --- sparse anchors (reference _prepare_integration_variables :92-131) ---
     def _sparse_anchors(self):
@@ -167,23 +176,142 @@ class ImagePriors(BaseClass):
             **kw,
         )
 
+    # --- device-resident packed transport ---
+    def _hw(self, downscale):
+        H, W = self.depth.data_prior.shape
+        return (int(H // downscale), int(W // downscale)) if downscale > 1 else (H, W)
+
+    def _static6_np(self, downscale):
+        s = self._static6_cache.get(downscale)
+        if s is not None:
+            return s
+        from mpsfm_tpu.integration.bini import build_static6
+        from mpsfm_tpu.utils.interp import resize_bilinear
+
+        depth, normals = self.depth, self.normals
+        fx, fy, cx, cy = self._grid_K()
+        if downscale > 1:
+            hw = self._hw(downscale)
+            vm = resize_bilinear(depth.valid.astype(np.float64), hw) > 0.5
+            nm, nc = normals.data_downscaled, normals.uncertainty_downscaled
+            fx, fy, cx, cy = fx / downscale, fy / downscale, cx / downscale, cy / downscale
+        else:
+            vm, nm, nc = depth.valid, normals.data, normals.uncertainty
+        s = build_static6(
+            vm, nm, nc, fx, fy, cx, cy,
+            normals_magnitude_multiplier=self.conf.normals_magnitude_multiplier,
+        )
+        self._static6_cache[downscale] = s
+        return s
+
+    def _prior_dp_du(self, downscale):
+        """(data_prior, uncertainty) at the downscaled grid, cached by
+        (Depth.version, cumulative scale)."""
+        key = (self.depth.version, float(self.depth.scale))
+        c = self._prior_cache.get(downscale)
+        if c is not None and c[0] == key:
+            return c[1], c[2]
+        from mpsfm_tpu.utils.interp import resize_bilinear
+
+        if downscale > 1:
+            hw = self._hw(downscale)
+            dp = resize_bilinear(self.depth.data_prior, hw)
+            du = resize_bilinear(self.depth.uncertainty, hw)
+        else:
+            dp, du = self.depth.data_prior, self.depth.uncertainty
+        self._prior_cache[downscale] = (key, dp, du)
+        return dp, du
+
+    def static_prior_dev(self, downscale=1):
+        """(dev8, prior_shift): device (8,H,W) slow transport rows
+        [prec_prior, z_prior, c_x, c_y, nx, ny, prec_x, prec_y] plus the
+        scalar log-scale drift since upload. Prior rescales in this
+        pipeline are purely multiplicative (shift fixed at 0,
+        bundle_adjustment.py:173), so the cache survives them: log-depth
+        precision is scale-invariant and z_prior moves by log(s), applied
+        in-program."""
+        from mpsfm_tpu.integration.bini import build_prior2
+
+        ver = self.depth.version
+        s_now = float(self.depth.scale)
+        ent = self._packed_dev.get(downscale)
+        if ent is not None and ent["ver"] == ver:
+            return ent["dev"], float(np.log(s_now / ent["s0"]))
+        dp, du = self._prior_dp_du(downscale)
+        prior2 = build_prior2(dp, du, self.conf.depth_magnitude_multiplier)
+        dev = jnp.asarray(np.concatenate([prior2, self._static6_np(downscale)], 0))
+        self._packed_dev[downscale] = {"ver": ver, "s0": s_now, "dev": dev, "zrow": None}
+        return dev, 0.0
+
+    def _anchor_payload(self, downscale=1):
+        """Host (L,4) float32 anchor rows [y, x, prec(log-depth), logz]
+        after the prior scale filter (reference process_sparse_depth,
+        integration.py:281-288) — the only per-call transport besides the
+        cached device rows."""
+        anchors = self._sparse_anchors()
+        if anchors is None:
+            return np.zeros((0, 4), np.float32)
+        px, d3, zv = anchors
+        px = px / downscale
+        dp, _ = self._prior_dp_du(downscale)
+        H, W = dp.shape
+        xs = np.clip(np.round(px[:, 0]).astype(np.int64), 0, W - 1)
+        ys = np.clip(np.round(px[:, 1]).astype(np.int64), 0, H - 1)
+        d3 = np.asarray(d3, np.float64)
+        keep = d3 > 0
+        if self.conf.scale_filter:
+            div = d3 / np.clip(dp[ys, xs], 1e-8, None)
+            keep &= (div < self.conf.scale_filter_factor) & (
+                div > 1 / self.conf.scale_filter_factor
+            )
+        xs, ys, d3 = xs[keep], ys[keep], d3[keep]
+        zv = np.clip(np.asarray(zv, np.float64)[keep], 1e-12, None)
+        prec = (1.0 / zv) * d3**2
+        logz = np.log(np.clip(d3, 1e-8, None))
+        return np.stack([ys, xs, prec, logz], -1).astype(np.float32)
+
+    def _z0_shift_dev(self, downscale=1):
+        """(z0_dev (H,W), shift): cached device working log-depth plus the
+        scalar log-shift accumulated since its upload. Falls back to the
+        z_prior row of the cached static rows when not activated."""
+        from mpsfm_tpu.integration.bini import prior_z0
+        from mpsfm_tpu.utils.interp import resize_bilinear
+
+        depth = self.depth
+        if depth.activated and depth.data is not None:
+            key = ("d", depth.data_epoch)
+            ent = self._z0_cache.get(downscale)
+            if ent is not None and ent[0] == key:
+                return ent[2], float(depth.data_log_shift - ent[1])
+            if downscale > 1:
+                z0 = np.log(np.clip(resize_bilinear(depth.data, self._hw(downscale)), 1e-8, None))
+            else:
+                z0 = np.log(np.clip(depth.data, 1e-8, None))
+            dev = jnp.asarray(np.asarray(z0, np.float32))
+            self._z0_cache[downscale] = (key, float(depth.data_log_shift), dev)
+            return dev, 0.0
+        # prior fallback: z0 = z_prior row of the cached static rows (at
+        # its upload scale) + the same scalar drift
+        dev8, prior_shift = self.static_prior_dev(downscale)
+        ent = self._packed_dev[downscale]
+        if ent["zrow"] is None:
+            ent["zrow"] = prior_z0(dev8)
+        return ent["zrow"], prior_shift
+
+    def seed_z0(self, z_dev):
+        """Seed the full-res z0 cache from a device solve output (called
+        right after the batched integrator accepted depth.data)."""
+        self._z0_cache[1] = (("d", self.depth.data_epoch), 0.0, z_dev)
+        self._z0_cache.pop(self.conf.downscale_factor, None)
+
     def integrate(self, **kw):
         """Refine the working depth map. Returns True when changed
         (reference Image.integrate, integration.py:133-137)."""
-        from mpsfm_tpu.utils.profiling import TIMERS
-
         assert self.rec.images[self.imid].registered and self.depth.activated
-        with TIMERS.phase("bini.build_inputs"):
-            inputs = self.build_inputs()
-        self._last_inputs = inputs
-        with TIMERS.phase("bini.integrate1"):
-            depth_new, changed = self.integrator.integrate(inputs)
-        if changed and depth_new is not None:
-            self.depth.data = depth_new
-        return changed
+        return integrate_bundle_batched([self])[self.imid]
 
     def _int_cov_query(self, pts2d=None):
-        """(inputs, rows, cols, K, kps_sel, pts2d, params) for the diag(H⁻¹)
+        """(packed, rows, cols, K, kps_sel, pts2d, params) for the diag(H⁻¹)
         queries at (a subset of) this image's keypoints on the downscaled
         integration grid."""
         rec = self.rec
@@ -193,15 +321,17 @@ class ImagePriors(BaseClass):
             pts2d = np.arange(len(kps))
         kps_sel = kps[pts2d]
         ds = self.conf.downscale_factor if self.conf.downscaled else 1
-        inputs = self.build_inputs(downscale=ds)
+        pl = self._anchor_payload(downscale=ds)
+        stat8, prior_shift = self.static_prior_dev(downscale=ds)
+        z0, z0_shift = self._z0_shift_dev(downscale=ds)
         params = self.integrator.params._replace(cg_max_iter=int(self.conf.cov_cg_iters))
-        gx = np.clip(
-            np.round(kps_sel[:, 0] * cam.sx / ds).astype(np.int32), 0, inputs.z0.shape[1] - 1
+        h, w = stat8.shape[-2:]
+        gx = np.clip(np.round(kps_sel[:, 0] * cam.sx / ds).astype(np.int32), 0, w - 1)
+        gy = np.clip(np.round(kps_sel[:, 1] * cam.sy / ds).astype(np.int32), 0, h - 1)
+        return (
+            (pl, z0_shift, prior_shift, (z0, stat8)),
+            gy, gx, len(gx), kps_sel, np.asarray(pts2d), params,
         )
-        gy = np.clip(
-            np.round(kps_sel[:, 1] * cam.sy / ds).astype(np.int32), 0, inputs.z0.shape[0] - 1
-        )
-        return inputs, gy, gx, len(gx), kps_sel, np.asarray(pts2d), params
 
     def _apply_int_covs(self, varlog, kps_sel, pts2d):
         d_prior = self.depth.data_prior_at_kps(kps_sel)
@@ -213,18 +343,56 @@ class ImagePriors(BaseClass):
     def calculate_int_covs_at_kps(self, pts2d=None):
         """Propagate diag(H⁻¹) to per-keypoint depth variances
         (reference calculate_int_covs_at_kps, integration.py:604-616)."""
-        from mpsfm_tpu.integration.bini import diag_inverse_at_batch, pack_inputs
+        from mpsfm_tpu.integration.bini import diag_inverse_at_batch_anchors
 
-        inputs, gy, gx, K, kps_sel, pts2d, params = self._int_cov_query(pts2d)
-        # pad the query count to a chunk multiple on the host so distinct
-        # keypoint counts share one compiled program
-        Kp = ((K + 127) // 128) * 128
-        rows = np.zeros((1, Kp), np.int32)
-        cols = np.zeros((1, Kp), np.int32)
-        rows[0, :K], cols[0, :K] = gy, gx
-        packed = jnp.asarray(pack_inputs(inputs)[None])
-        varlog = np.asarray(diag_inverse_at_batch(packed, params, rows, cols))[0, :K]
+        (pl, z0_shift, prior_shift, pair), gy, gx, K, kps_sel, pts2d, params = (
+            self._int_cov_query(pts2d)
+        )
+        # power-of-two buckets: distinct keypoint/anchor counts share one
+        # compiled program (every fresh shape is a multi-second remote
+        # compile on the tunneled backend)
+        Kp = _pow2(K, 128)
+        rowcol = np.zeros((1, 2, Kp), np.int32)
+        rowcol[0, 0, :K], rowcol[0, 1, :K] = gy, gx
+        shape = tuple(pair[1].shape[-2:])
+        anch = _pack_anchors([(pl, z0_shift, prior_shift)], shape, 1, _pow2(max(len(pl), 1), 64))
+        varlog = np.asarray(
+            diag_inverse_at_batch_anchors(
+                jnp.asarray(anch), jnp.asarray(rowcol), params, 128, pair
+            )
+        )[0, :K]
         return self._apply_int_covs(varlog, kps_sel, pts2d)
+
+
+def _pow2(n: int, base: int = 1) -> int:
+    """Smallest base*2^k >= n."""
+    b = base
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pack_anchors(pl_shift, shape, B0, Ka):
+    """(B0,5,Ka) float32 anchor transport rows [y, x, prec, logz,
+    shifts(in [4,0]=z0 shift, [4,1]=prior shift)] from
+    [(payload (L,4), z0_shift, prior_shift), ...]; padded slots get
+    out-of-range y so the device scatter drops them."""
+    H = shape[0]
+    anch = np.zeros((B0, 5, Ka), np.float32)
+    anch[:, 0, :] = float(H)
+    for b, (pl, z0_shift, prior_shift) in enumerate(pl_shift):
+        L = len(pl)
+        if L:
+            anch[b, 0, :L] = pl[:, 0]
+            anch[b, 1, :L] = pl[:, 1]
+            anch[b, 2, :L] = pl[:, 2]
+            anch[b, 3, :L] = pl[:, 3]
+        anch[b, 4, 0] = z0_shift
+        anch[b, 4, 1] = prior_shift
+    n = len(pl_shift)
+    if B0 > n:
+        anch[n:] = anch[0]
+    return anch
 
 
 def integrate_bundle_batched(pris) -> dict:
@@ -233,15 +401,19 @@ def integrate_bundle_batched(pris) -> dict:
     the images that need it (SURVEY §7.1 — replaces the reference's
     per-image loop, mapper/base.py:619-631). Returns {imid: changed}.
 
-    Images are grouped by integration-grid shape + params; each group is
-    uploaded as ONE packed (B,11,H,W) array (a single host→device
-    transfer — critical on tunneled backends); the refine subset is
-    padded to a power-of-two bucket to bound compile variants.
+    Images are grouped by integration-grid shape + params. Per group the
+    host uploads ONE (B,5,Ka) sparse-anchor array (~KB); z0, the prior
+    rows, and the normals-derived rows are device-resident
+    (ImagePriors._z0_shift_dev / static_prior_dev) and the dense dynamic
+    rows are scattered ON DEVICE — per-call tunnel latency dominates
+    bandwidth, so the whole bundle costs ~3 device interactions. Batch
+    dims are padded to power-of-two buckets to bound compile variants
+    (every fresh shape is a multi-second remote compile).
     """
     from mpsfm_tpu.integration.bini import (
-        bini_energy_batch_packed,
+        bini_energy_batch_anchors,
         bini_solve_batch_packed,
-        pack_many,
+        take_z,
     )
     from mpsfm_tpu.utils.profiling import TIMERS
 
@@ -249,22 +421,32 @@ def integrate_bundle_batched(pris) -> dict:
     groups: dict = {}
     with TIMERS.phase("bini.build_inputs"):
         for pri in pris:
-            inputs = pri.build_inputs()
-            pri._last_inputs = inputs
-            key = (inputs.z0.shape, pri.integrator.params)
-            groups.setdefault(key, []).append((pri, inputs))
+            pl = pri._anchor_payload()
+            stat8, prior_shift = pri.static_prior_dev()
+            z0, z0_shift = pri._z0_shift_dev()
+            key = (tuple(stat8.shape[-2:]), pri.integrator.params)
+            groups.setdefault(key, []).append(
+                (pri, pl, z0_shift, prior_shift, (z0, stat8))
+            )
 
     for (shape, params), entries in groups.items():
-        packed = jnp.asarray(pack_many([inp for _, inp in entries]))
+        n = len(entries)
+        B0 = _pow2(n)
+        Ka = _pow2(max(max((len(e[1]) for e in entries), default=1), 1), 64)
+        anch = _pack_anchors([(pl, zs, ps) for _, pl, zs, ps, _ in entries], shape, B0, Ka)
+        pairs = [e[4] for e in entries] + [entries[0][4]] * (B0 - n)
         with TIMERS.phase("bini.energy_batch"):
-            energies = np.asarray(bini_energy_batch_packed(packed, params))
+            energies_dev, packed = bini_energy_batch_anchors(
+                jnp.asarray(anch), params, *pairs
+            )
+            energies = np.asarray(energies_dev)[:n]
         todo = [
-            k for k, (pri, _) in enumerate(entries)
-            if pri.integrator.should_refine_energy(float(energies[k]))
+            k for k, e in enumerate(entries)
+            if e[0].integrator.should_refine_energy(float(energies[k]))
         ]
-        for k, (pri, _) in enumerate(entries):
+        for k, e in enumerate(entries):
             if k not in todo:
-                changed[pri.imid] = False
+                changed[e[0].imid] = False
         if not todo:
             continue
         B = 1
@@ -273,8 +455,8 @@ def integrate_bundle_batched(pris) -> dict:
         idxs = jnp.asarray(todo + [todo[0]] * (B - len(todo)), jnp.int32)
         sub = packed[idxs]  # device-side gather, no re-upload
         with TIMERS.phase("bini.solve_batch"):
-            z, info = bini_solve_batch_packed(sub, params)
-            z = np.asarray(z)
+            z_dev, info = bini_solve_batch_packed(sub, params)
+            z = np.asarray(z_dev)
         e_arr = np.asarray(info["energy"])
         ab_arr = np.asarray(info["aborted"])
         for pos, k in enumerate(todo):
@@ -282,6 +464,7 @@ def integrate_bundle_batched(pris) -> dict:
             depth_new, ch = pri.integrator.accept(z[pos], float(e_arr[pos]), bool(ab_arr[pos]))
             if ch and depth_new is not None:
                 pri.depth.data = depth_new
+                pri.seed_z0(take_z(z_dev, jnp.int32(pos)))
             changed[pri.imid] = ch
     return changed
 
@@ -291,24 +474,34 @@ def int_covs_bundle_batched(pris) -> None:
     grid-shape group: packs every image's (downscaled) integration problem
     into a (B,11,h,w) array and runs diag(H⁻¹) indicator solves vmapped
     over the bundle (replaces the reference's per-image cholespy loop,
-    integration.py:604-616 called from mapper/base.py)."""
-    from mpsfm_tpu.integration.bini import diag_inverse_at_batch, pack_many
+    integration.py:604-616 called from mapper/base.py). One (B,5,Ka)
+    anchor upload + one (B,2,Kp) query upload; all dense rows are
+    device-resident or scattered on device."""
+    from mpsfm_tpu.integration.bini import diag_inverse_at_batch_anchors
 
     groups: dict = {}
     for pri in pris:
         q = pri._int_cov_query()
-        key = (q[0].z0.shape, q[6])
+        key = (tuple(q[0][3][1].shape[-2:]), q[6])
         groups.setdefault(key, []).append((pri, q))
 
     for (shape, params), entries in groups.items():
+        # power-of-two buckets on batch dim, anchor width, and query
+        # width: each distinct shape is a fresh multi-second remote compile
         Kmax = max(q[3] for _, q in entries)
-        Kp = max(128, ((Kmax + 127) // 128) * 128)
-        B = len(entries)
-        rows = np.zeros((B, Kp), np.int32)
-        cols = np.zeros((B, Kp), np.int32)
-        for b, (_, (inputs, gy, gx, K, _, _, _)) in enumerate(entries):
-            rows[b, :K], cols[b, :K] = gy, gx
-        packed = jnp.asarray(pack_many([q[0] for _, q in entries]))
-        varlog = np.asarray(diag_inverse_at_batch(packed, params, rows, cols))
+        Kp = _pow2(Kmax, 128)
+        n = len(entries)
+        B = _pow2(n)
+        rowcol = np.zeros((B, 2, Kp), np.int32)
+        for b, (_, (_split, gy, gx, K, _, _, _)) in enumerate(entries):
+            rowcol[b, 0, :K], rowcol[b, 1, :K] = gy, gx
+        Ka = _pow2(max(max((len(q[0][0]) for _, q in entries), default=1), 1), 64)
+        anch = _pack_anchors([q[0][:3] for _, q in entries], shape, B, Ka)
+        pairs = [q[0][3] for _, q in entries] + [entries[0][1][0][3]] * (B - n)
+        varlog = np.asarray(
+            diag_inverse_at_batch_anchors(
+                jnp.asarray(anch), jnp.asarray(rowcol), params, 128, *pairs
+            )
+        )
         for b, (pri, (_, _, _, K, kps_sel, pts2d, _)) in enumerate(entries):
             pri._apply_int_covs(varlog[b, :K], kps_sel, pts2d)

@@ -136,12 +136,33 @@ class Depth(BaseClass):
         self.shift = 0.0
         self.activated = False
         self.data = None  # refined/working depth (activated copies prior)
+        # bumped whenever the prior grids (data_prior/uncertainty) change —
+        # device-side caches of prior-derived arrays key on this
+        self.version = 0
+        # working-copy cache keys: data_epoch bumps when `data` is
+        # REPLACED; pure multiplicative rescales of the working map keep
+        # the epoch and accumulate data_log_shift instead (device z0
+        # caches apply it as a scalar: log(s·d) = log d + log s)
+        self.data_epoch = 0
+        self.data_log_shift = 0.0
         self.kps = kps
         self._grid_scale = (1.0, 1.0)  # (sx, sy) image->grid, set by owner
         # Per-keypoint uncertainty store (updated by integration covs).
         self.uncertainty_update = (
             self.uncertainty_at_kps(kps) if kps is not None else None
         )
+
+    @property
+    def data(self):
+        """Working (refined) depth map; assignment bumps data_epoch and
+        clears the accumulated log-shift (device z0 caches key on both)."""
+        return self._data
+
+    @data.setter
+    def data(self, v):
+        self._data = v
+        self.data_epoch = getattr(self, "data_epoch", 0) + 1
+        self.data_log_shift = 0.0
 
     def set_grid_scale(self, sx, sy):
         self._grid_scale = (sx, sy)
@@ -170,14 +191,25 @@ class Depth(BaseClass):
         """Rescale the prior (reference mixins/depth_utils.py:60-66);
         rescale_working also scales the refined map (normalize_depths path,
         :93)."""
+        if shift == 0.0 and scale == 1.0:
+            return
         self.data_prior = self.data_prior * scale + shift
         self.scale *= scale
         self.shift = self.shift * scale + shift
         self.uncertainty = self.uncertainty * scale**2
+        if shift != 0.0:
+            self.version += 1
         if self.uncertainty_update is not None:
             self.uncertainty_update = self.uncertainty_update * scale**2
-        if rescale_working and self.activated and self.data is not None:
-            self.data = self.data * scale + shift
+        if rescale_working and self.activated and self._data is not None:
+            if shift == 0.0:
+                # multiplicative-only: keep the working-copy epoch and
+                # accumulate the scalar log-shift instead (z0 device
+                # caches stay valid: log(s·d) = log d + log s)
+                self._data = self._data * scale
+                self.data_log_shift += float(np.log(scale))
+            else:
+                self.data = self.data * scale + shift
 
     def reset(self):
         """Undo alignment; deactivate (reference depth.py:132-140)."""

@@ -149,8 +149,21 @@ def _reproject_core(depth1, K1, K2, M12, out_hw):
     return jnp.stack([u2, v2], -1), z2, mask
 
 
-def _pair_counts(d_q, var_q, Kq, d_r, var_r, Kr, M_qr, M_rq, r2_qr, r2_rq, c, thresh):
-    """(qry_nv, qry_v, ref_nv, ref_v) for one (query, ref) pair."""
+def _pair_counts(d_q, var_q, Kq, fac_q, d_r, var_r, Kr, row, c, thresh):
+    """(qry_nv, qry_v, ref_nv, ref_v) for one (query, ref) pair.
+
+    The depth/variance grids arrive as device-cached bases times scalar
+    factors (fac_q (2,), row[0:2]) so pure rescales never re-upload
+    them; row (32,) packs [fac_r(2), M_qr(12), M_rq(12), r2_qr(3),
+    r2_rq(3)] — the only per-pair upload."""
+    d_q = d_q * fac_q[0]
+    var_q = var_q * fac_q[1]
+    d_r = d_r * row[0]
+    var_r = var_r * row[1]
+    M_qr = row[2:14].reshape(3, 4)
+    M_rq = row[14:26].reshape(3, 4)
+    r2_qr = row[26:29]
+    r2_rq = row[29:32]
     nv_q, v_q = _dir_counts(d_q, var_q, Kq, d_r, var_r, Kr, M_qr, r2_qr, c, thresh)
     nv_r, v_r = _dir_counts(d_r, var_r, Kr, d_q, var_q, Kq, M_rq, r2_rq, c, thresh)
     return jnp.stack([nv_q, v_q, nv_r, v_r])
@@ -159,7 +172,7 @@ def _pair_counts(d_q, var_q, Kq, d_r, var_r, Kr, M_qr, M_rq, r2_qr, r2_rq, c, th
 _bundle_counts = jax.jit(
     jax.vmap(
         _pair_counts,
-        in_axes=(None, None, None, 0, 0, 0, 0, 0, 0, 0, None, None),
+        in_axes=(None, None, None, None, 0, 0, 0, 0, None, None),
     )
 )
 
@@ -181,6 +194,9 @@ class DepthConsistencyChecker(BaseClass):
         self.reg_batch_dc_times_failed = 0
         self.cons_thresh_times_increased = 0
         self.skip_dc_check = False
+        # per-image device caches of (depth, variance, K) grids; pure
+        # multiplicative rescales only change the scalar factors
+        self._dev_cache: dict = {}
 
     # --- ladder state (reference :27-49) ---
     def at_registration_success(self):
@@ -313,6 +329,42 @@ class DepthConsistencyChecker(BaseClass):
             np.asarray(self._K_grid(imid), np.float32),
         )
 
+    def _dc_dev(self, imid):
+        """((d_dev, d_fac), (var_dev, var_fac), K_dev): device-cached
+        grids + the scalar factors accumulated since their upload (pure
+        rescales are multiplicative in both depth and variance)."""
+        d = self.rec.images[imid].depth
+        c = self._dev_cache.setdefault(imid, {})
+        s = float(d.scale)
+        if d.activated and d.data is not None:
+            dkey = ("d", d.data_epoch)
+            ent = c.get("d")
+            if ent is None or ent[0] != dkey:
+                ent = (dkey, float(d.data_log_shift), jnp.asarray(np.asarray(d.data, np.float32)))
+                c["d"] = ent
+            d_fac = float(np.exp(d.data_log_shift - ent[1]))
+        else:
+            dkey = ("p", d.version)
+            ent = c.get("d")
+            if ent is None or ent[0] != dkey:
+                ent = (dkey, s, jnp.asarray(np.asarray(d.data_prior, np.float32)))
+                c["d"] = ent
+            d_fac = s / ent[1]
+        vkey = ("v", d.version)
+        vent = c.get("v")
+        if vent is None or vent[0] != vkey:
+            var = np.asarray(d.uncertainty, np.float32) / np.float32(
+                d.conf.prior_std_multiplier**2
+            )
+            vent = (vkey, s, jnp.asarray(var))
+            c["v"] = vent
+        v_fac = (s / vent[1]) ** 2
+        K = c.get("K")
+        if K is None:
+            K = jnp.asarray(np.asarray(self._K_grid(imid), np.float32))
+            c["K"] = K
+        return (ent[2], d_fac), (vent[2], v_fac), K
+
     def check_bundle_depth_consistency(self, imid, bundle, score_thresh=None):
         """Bundle score = max over {query, refs} of invalid/valid pixel ratio
         (reference :213-246). All (query, ref) pairs with a common grid shape
@@ -323,31 +375,36 @@ class DepthConsistencyChecker(BaseClass):
         if score_thresh is None:
             score_thresh = self.conf.depth_cons_valid_thresh
         rec = self.rec
-        d_q, var_q, K_q = self._dc_arrays(imid)
+        (d_q, dq_fac), (var_q, vq_fac), K_q = self._dc_dev(imid)
         pose_q = rec.images[imid].pose
         Rq = pose_q.rotation_matrix()
         Mq44 = np.vstack([pose_q.inverse().matrix(), [0, 0, 0, 1]])
 
         groups: dict[tuple, list] = {}
         for ref in optim_ids:
-            d_r, var_r, K_r = self._dc_arrays(ref)
+            (d_r, dr_fac), (var_r, vr_fac), K_r = self._dc_dev(ref)
             pose_r = rec.images[ref].pose
             M_qr = pose_r.matrix() @ Mq44
             M_rq = pose_q.matrix() @ np.vstack([pose_r.inverse().matrix(), [0, 0, 0, 1]])
             R_rq = pose_r.rotation_matrix() @ Rq.T  # R_ref R_queryᵀ
-            groups.setdefault(d_r.shape, []).append(
-                (d_r, var_r, K_r, M_qr, M_rq, R_rq[2], R_rq[:, 2])
-            )
+            row = np.concatenate(
+                [[dr_fac, vr_fac], M_qr.reshape(-1), M_rq.reshape(-1), R_rq[2], R_rq[:, 2]]
+            ).astype(np.float32)
+            groups.setdefault(tuple(d_r.shape), []).append((d_r, var_r, K_r, row))
 
         ref_nv, ref_v, qry_nv, qry_v = 0, 0, 0, 0
         for items in groups.values():
-            stk = [np.stack([np.asarray(it[k], np.float32) for it in items]) for k in range(7)]
+            # device-side stacks of cached grids; one (B,32) host upload
             counts = np.asarray(
                 _bundle_counts(
-                    jnp.asarray(d_q),
-                    jnp.asarray(var_q),
-                    jnp.asarray(K_q),
-                    *(jnp.asarray(s) for s in stk),
+                    d_q,
+                    var_q,
+                    K_q,
+                    jnp.asarray(np.array([dq_fac, vq_fac], np.float32)),
+                    jnp.stack([it[0] for it in items]),
+                    jnp.stack([it[1] for it in items]),
+                    jnp.stack([it[2] for it in items]),
+                    jnp.asarray(np.stack([it[3] for it in items])),
                     jnp.float32(self.conf.c),
                     jnp.float32(score_thresh),
                 )

@@ -395,9 +395,11 @@ class MpsfmMapper(BaseClass):
             _, filtered = self.filter_bundle(local_bundle)
             if filtered and imid in filtered:
                 return False
-        if not self.optimizer.refine_3d_points(
-            local_bundle, depth_type="prior" if not self.conf.integrate else "update"
-        )[1]:
+        with TIMERS.phase("refine_3d_points"):
+            ok3d = self.optimizer.refine_3d_points(
+                local_bundle, depth_type="prior" if not self.conf.integrate else "update"
+            )[1]
+        if not ok3d:
             return False
         local_bundle = self.find_local_bundle(imid)
         observed = self.find_subset_bundle(local_bundle)
@@ -417,11 +419,15 @@ class MpsfmMapper(BaseClass):
                 "optim_ids": set(rec.find_local_bundle_ids(imid, self.conf.local_bundle_size))
                 | {imid}
             }
-            if self._priors(imid) is not None and not self.dc.check_image(imid, bundle):
+            with TIMERS.phase("dc_check"):
+                dc_ok = self._priors(imid) is None or self.dc.check_image(imid, bundle)
+            if not dc_ok:
                 return False
-        if not self.optimizer.refine_3d_points(
-            local_bundle, depth_type="prior" if not self.conf.integrate else "update"
-        )[1]:
+        with TIMERS.phase("refine_3d_points"):
+            ok3d = self.optimizer.refine_3d_points(
+                local_bundle, depth_type="prior" if not self.conf.integrate else "update"
+            )[1]
+        if not ok3d:
             return False
         local_bundle = self.find_local_bundle(imid)
         _, filtered = self.filter_bundle(local_bundle)

@@ -110,6 +110,12 @@ class Optimizer(BaseClass):
         )
 
     def calculate_point_covs(self, bundle):
+        from mpsfm_tpu.utils.profiling import TIMERS
+
+        with TIMERS.phase("point_covs"):
+            return self._calculate_point_covs(bundle)
+
+    def _calculate_point_covs(self, bundle):
         prob = build_ba_data(
             self.rec, bundle, mode="global", use_depth=False, representation="sparse"
         )

@@ -310,6 +310,48 @@ class ImagePriors(BaseClass):
         assert self.rec.images[self.imid].registered and self.depth.activated
         return integrate_bundle_batched([self])[self.imid]
 
+    def calculate_int_covs_for_entire_image(self, downscaled=None, ignore_depths=False):
+        """Per-pixel propagated depth VARIANCE map at the integration grid
+        (reference calculate_int_covs_for_entire_image,
+        integration.py:618-629): diag(H⁻¹) at every pixel × depth².
+        ignore_depths drops the sparse-SfM anchor term from the Hessian
+        (reference calculate_hessian sparse_depth=False, :522-560)."""
+        from mpsfm_tpu.integration.bini import diag_inverse_at_batch_anchors
+        from mpsfm_tpu.utils.interp import resize_bilinear
+
+        use_ds = self.conf.downscaled if downscaled is None else bool(downscaled)
+        ds = self.conf.downscale_factor if use_ds else 1
+        pl = self._anchor_payload(downscale=ds)
+        stat8, prior_shift = self.static_prior_dev(downscale=ds)
+        z0, z0_shift = self._z0_shift_dev(downscale=ds)
+        params = self.integrator.params._replace(cg_max_iter=int(self.conf.cov_cg_iters))
+        if ignore_depths:
+            params = params._replace(lambda2=0.0)
+        h, w = stat8.shape[-2:]
+        yy, xx = np.meshgrid(
+            np.arange(h, dtype=np.int32), np.arange(w, dtype=np.int32), indexing="ij"
+        )
+        Kq = h * w
+        # chunk-multiple (not power-of-two): whole-image queries are a
+        # one-off viz shape per grid; pow2 padding would waste up to 2x
+        Kp = ((Kq + 127) // 128) * 128
+        rowcol = np.zeros((1, 2, Kp), np.int32)
+        rowcol[0, 0, :Kq] = yy.reshape(-1)
+        rowcol[0, 1, :Kq] = xx.reshape(-1)
+        anch = _pack_anchors(
+            [(pl, z0_shift, prior_shift)], (h, w), 1, _pow2(max(len(pl), 1), 64)
+        )
+        varlog = np.asarray(
+            diag_inverse_at_batch_anchors(
+                jnp.asarray(anch), jnp.asarray(rowcol), params, 128, (z0, stat8)
+            )
+        )[0, :Kq].reshape(h, w)
+        if ds > 1:
+            varlog = resize_bilinear(np.asarray(varlog, np.float64), self._hw(1))
+        d = self.depth
+        data = d.data if (d.activated and d.data is not None) else d.data_prior
+        return varlog * np.asarray(data) ** 2
+
     def _int_cov_query(self, pts2d=None):
         """(packed, rows, cols, K, kps_sel, pts2d, params) for the diag(H⁻¹)
         queries at (a subset of) this image's keypoints on the downscaled

@@ -121,3 +121,23 @@ def test_diag_inverse_at(rng):
     var = np.asarray(diag_inverse_at(inp, params, z, rows, cols, chunk=2))
     assert (var > 0).all()
     assert var[0] < var[1]  # anchored side more certain
+
+
+def test_int_covs_entire_image(rng):
+    """Whole-image propagated-uncertainty map (reference
+    calculate_int_covs_for_entire_image, integration.py:618-629)."""
+    from synthetic import PlaneScene
+
+    scene = PlaneScene(rng=rng, n_images=2, img_wh=(64, 48), focal=52.0, baseline=0.3)
+    rec, *_ = scene.build(with_priors=True)
+    for i in (0, 1):
+        rec.register_image(i)
+        rec.images[i].depth.activate()
+    pri = rec.images[0].priors
+    var = pri.calculate_int_covs_for_entire_image()
+    H0, W0 = pri.depth.data_prior.shape
+    assert var.shape == (H0, W0)
+    assert np.isfinite(var).all() and (var > 0).all()
+    # dropping the sparse anchors cannot reduce uncertainty
+    var_nd = pri.calculate_int_covs_for_entire_image(ignore_depths=True)
+    assert np.median(var_nd / var) >= 0.99

@@ -69,6 +69,7 @@ class LightGlue:
 
     default_conf = {
         "dim": 256,
+        "input_dim": None,  # descriptor dim fed to input_proj (default: dim)
         "num_heads": 4,
         "n_layers": 9,
         "filter_threshold": 0.1,
@@ -99,7 +100,8 @@ class LightGlue:
                 "b": np.zeros(o, np.float32),
             }
 
-        p = {"input_proj": dense(256, D), "Wr": rng.normal(scale=1.0, size=(D // H // 2, 2)).astype(np.float32)}
+        in_dim = self.conf.get("input_dim") or D
+        p = {"input_proj": dense(in_dim, D), "Wr": rng.normal(scale=1.0, size=(D // H // 2, 2)).astype(np.float32)}
         for l in range(L):
             p[f"self_{l}"] = {
                 "Wqkv": dense(D, 3 * D),
@@ -174,8 +176,10 @@ class LightGlue:
         D = self.conf["dim"]
         H = self.conf["num_heads"]
         B, N, _ = x.shape
-        qkv = self._dense(p["Wqkv"], x).reshape(B, N, H, 3, D // H)
-        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+        # checkpoint layout: the 3D Wqkv output unflattens to (H, D/H, 3)
+        # (official SelfBlock.forward), NOT (H, 3, D/H)
+        qkv = self._dense(p["Wqkv"], x).reshape(B, N, H, D // H, 3)
+        q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
         q = apply_rotary(q, enc)
         k = apply_rotary(k, enc)
         logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(D // H)
@@ -185,7 +189,7 @@ class LightGlue:
         y = jnp.concatenate([x, msg], -1)
         ff = self._dense(p["ffn0"], y)
         ff = self._ln(ff, p["ffn_ln_g"], p["ffn_ln_b"])
-        ff = jax.nn.gelu(ff)
+        ff = jax.nn.gelu(ff, approximate=False)  # torch nn.GELU is exact
         return x + self._dense(p["ffn1"], ff)
 
     def _cross_block(self, p, x0, x1, mask0, mask1):
@@ -211,7 +215,7 @@ class LightGlue:
             y = jnp.concatenate([x, self._dense(p["out"], msg)], -1)
             ff = self._dense(p["ffn0"], y)
             ff = self._ln(ff, p["ffn_ln_g"], p["ffn_ln_b"])
-            return x + self._dense(p["ffn1"], jax.nn.gelu(ff))
+            return x + self._dense(p["ffn1"], jax.nn.gelu(ff, approximate=False))
 
         return ffn(x0, m0), ffn(x1, m1)
 
@@ -229,7 +233,8 @@ class LightGlue:
         mf0 = self._dense(p["final_proj"], x0)
         mf1 = self._dense(p["final_proj"], x1)
         D = self.conf["dim"]
-        sim = jnp.einsum("bnd,bmd->bnm", mf0, mf1) / D**0.25
+        # official MatchAssignment divides EACH side by d^0.25 => sim / d^0.5
+        sim = jnp.einsum("bnd,bmd->bnm", mf0, mf1) / D**0.5
         z0 = jax.nn.log_sigmoid(self._dense(p["matchability"], x0))[..., 0]
         z1 = jax.nn.log_sigmoid(self._dense(p["matchability"], x1))[..., 0]
         sim = jnp.where(mask0[:, :, None] & mask1[:, None, :], sim, -1e9)

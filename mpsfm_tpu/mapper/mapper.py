@@ -66,8 +66,6 @@ class MpsfmMapper(BaseClass):
         self.rec = rec
         self.correspondences = correspondences
         self.optimizer = Optimizer(self.conf.ba, rec)
-        if not self.conf.integrate:
-            self.optimizer.conf.use_depth = self.optimizer.conf.use_depth  # depth terms still used on priors
         self.triangulator = Triangulator(self.conf.triangulator, rec, correspondences.cg)
         self.registration = Registration(self.conf.registration, rec, correspondences, self.triangulator)
         self.nextview = ImageSelection(self.conf.next_view, rec, correspondences)
@@ -293,28 +291,28 @@ class MpsfmMapper(BaseClass):
         return info, success
 
     def integrate_bundle(self, imids, **kw):
-      with TIMERS.phase("integrate_bundle"):
-        pris = [self._priors(imid) for imid in imids]
-        pris = [p for p in pris if p is not None]
-        from mpsfm_tpu.scene.image_priors import integrate_bundle_batched
+        with TIMERS.phase("integrate_bundle"):
+            pris = [self._priors(imid) for imid in imids]
+            pris = [p for p in pris if p is not None]
+            from mpsfm_tpu.scene.image_priors import integrate_bundle_batched
 
-        # whole-bundle anchor-transport solve: ~3 device interactions per
-        # bundle regardless of size (also used for single images — the
-        # B=1 bucket shares the compiled programs)
-        changed_map = integrate_bundle_batched(pris) if pris else {}
-        need_covs = [
-            pri
-            for pri in pris
-            if self.conf.int_covs and changed_map.get(pri.imid) and self.first_refinement
-        ]
-        if need_covs:
-            from mpsfm_tpu.scene.image_priors import int_covs_bundle_batched
+            # whole-bundle anchor-transport solve: ~3 device interactions per
+            # bundle regardless of size (also used for single images — the
+            # B=1 bucket shares the compiled programs)
+            changed_map = integrate_bundle_batched(pris) if pris else {}
+            need_covs = [
+                pri
+                for pri in pris
+                if self.conf.int_covs and changed_map.get(pri.imid) and self.first_refinement
+            ]
+            if need_covs:
+                from mpsfm_tpu.scene.image_priors import int_covs_bundle_batched
 
-            with TIMERS.phase("int_covs_at_kps"):
-                int_covs_bundle_batched(need_covs)
-        if not self.conf.int_covs_every_iter:
-            self.first_refinement = False
-      return True
+                with TIMERS.phase("int_covs_at_kps"):
+                    int_covs_bundle_batched(need_covs)
+            if not self.conf.int_covs_every_iter:
+                self.first_refinement = False
+        return True
 
     def iterative_local_refinement(self, imid):
         self.triangulator.complete_and_merge_all_tracks()

@@ -373,8 +373,11 @@ class Registration(BaseClass):
             xyz[use_3d] = rec.xyz[pids3]
         lifted = ~use_3d
         if self.conf.lifted_registration:
+            # lift every untriangulated ref kp from depth (reference
+            # registration.py:356-364 lifts unconditionally via data_at_kps;
+            # refined-vs-prior arbitration happens below)
             depth = getattr(ref_im, "depth", None)
-            if lifted.sum() and depth is not None and (depth.activated or depth.data is not None or True):
+            if lifted.sum() and depth is not None:
                 kl = ref_kps[lifted]
                 xy = ref_im.keypoints[kl]
                 d = (

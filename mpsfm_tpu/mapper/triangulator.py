@@ -421,7 +421,9 @@ class Triangulator(BaseClass):
         for imid in risky_imids:
             expanded.extend(rec.find_local_bundle_ids(imid, self.conf.new_retry_nbatch))
         ignore = set(risky_imids) | set(expanded)
-        out = 0
+        num_obs_before = sum(
+            int((rec.images[i].point3D_ids >= 0).sum()) for i in rec.reg_image_ids()
+        )
         for imid in rec.reg_image_ids():
             if imid in ignore:
                 continue
@@ -432,4 +434,7 @@ class Triangulator(BaseClass):
             risky = rec.find_points3D_with_small_triangulation_angle(self.conf.retri_min_angle, p3ds)
             for pid in p3ds[risky]:
                 self._lift_point(int(pid))
-        return out
+        num_obs_after = sum(
+            int((rec.images[i].point3D_ids >= 0).sum()) for i in rec.reg_image_ids()
+        )
+        return max(0, num_obs_after - num_obs_before)

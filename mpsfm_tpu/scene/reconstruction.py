@@ -623,15 +623,80 @@ class Reconstruction:
             counts[imid] = int(mark[pids].sum())
         return counts
 
-    def find_local_bundle_ids(self, refimid: int, num_images: int | None = None):
-        """Most-covisible images around refimid (COLMAP find_local_bundle
-        analog, reference scene/reconstruction/base.py:147-156)."""
+    def find_local_bundle_ids(
+        self, refimid: int, num_images: int | None = None, min_tri_angle: float = 6.0
+    ):
+        """COLMAP IncrementalMapper::FindLocalBundle analog (reference
+        scene/reconstruction/base.py:147-156 delegates to pycolmap).
+
+        Ranks covisible images by shared-point count, then — when there are
+        more candidates than slots — prefers images whose shared points have
+        good triangulation angles with refimid, relaxing the (angle,
+        min-shared-count) requirement through COLMAP's 8-step ladder before
+        falling back to plain covisibility order."""
+        if num_images is None:
+            num_images = 5
         counts = self.shared_point_counts(refimid)
         ranked = sorted(counts, key=lambda i: -counts[i])
         ranked = [i for i in ranked if counts[i] > 0]
-        if num_images is None:
-            num_images = 5
-        return ranked[:num_images]
+        if len(ranked) <= num_images:
+            return ranked
+
+        ref = self.images[refimid]
+        ref_pids = ref.point3D_ids[ref.point3D_ids >= 0]
+        mark = np.zeros(len(self.alive), bool)
+        mark[ref_pids] = True
+        c_ref = ref.pose.center()
+        max_shared = max(counts[i] for i in ranked)
+        min_tri_rad = np.deg2rad(min_tri_angle)
+        ladder = [
+            (min_tri_rad / 1.0, 0.6 * max_shared),
+            (min_tri_rad / 1.5, 0.6 * max_shared),
+            (min_tri_rad / 2.0, 0.5 * max_shared),
+            (min_tri_rad / 2.5, 0.4 * max_shared),
+            (min_tri_rad / 3.0, 0.3 * max_shared),
+            (min_tri_rad / 4.0, 0.2 * max_shared),
+            (min_tri_rad / 5.0, 0.1 * max_shared),
+            (min_tri_rad / 6.0, 0.1 * max_shared),
+        ]
+
+        tri_angles: dict[int, np.ndarray] = {}
+
+        def angles_for(imid):
+            if imid not in tri_angles:
+                im = self.images[imid]
+                pids = im.point3D_ids[im.point3D_ids >= 0]
+                pids = pids[mark[pids]]
+                X = self.xyz[pids]
+                v1 = c_ref[None] - X
+                v2 = im.pose.center()[None] - X
+                n1 = np.linalg.norm(v1, axis=-1)
+                n2 = np.linalg.norm(v2, axis=-1)
+                cos = (v1 * v2).sum(-1) / np.maximum(n1 * n2, 1e-12)
+                tri_angles[imid] = np.arccos(np.clip(cos, -1.0, 1.0))
+            return tri_angles[imid]
+
+        selected: list[int] = []
+        used = set()
+        for angle_thr, count_thr in ladder:
+            for imid in ranked:
+                if imid in used:
+                    continue
+                if counts[imid] < count_thr:
+                    break  # ranked desc — the rest fail the count bar too
+                if int((angles_for(imid) >= angle_thr).sum()) >= count_thr:
+                    selected.append(imid)
+                    used.add(imid)
+                    if len(selected) >= num_images:
+                        return selected
+            if len(selected) >= num_images:
+                break
+        for imid in ranked:  # fill remaining slots by covisibility order
+            if imid not in used:
+                selected.append(imid)
+                if len(selected) >= num_images:
+                    break
+        return selected
 
     def num_visible_points3D(self, imid: int):
         """#keypoints of imid whose correspondences see a triangulated point

@@ -144,3 +144,34 @@ def test_corrgraph_dedup_on_repeat_add():
     cg.add_correspondences(0, 1, np.array([[0, 1]]))
     cg.add_correspondences(0, 1, np.array([[0, 1], [2, 3]]))
     assert cg.num_correspondences_between_images(0, 1) == 2
+
+
+def test_find_local_bundle_prefers_triangulation_angle():
+    """COLMAP FindLocalBundle ladder: with equal covisibility, an image with
+    good triangulation angles to the ref must be selected over a near-zero-
+    baseline one (reference scene/reconstruction/base.py:147-156)."""
+    rec = Reconstruction()
+    cam = HostCamera(1, np.array([500.0, 500.0, 320.0, 240.0]), 640, 480)
+    rec.add_camera(cam)
+    n_kps = 40
+    # im0 = ref at origin; im1 almost coincident (tiny baseline -> ~0 angle);
+    # im2/im3 well-separated (wide angle)
+    centers = [0.0, 1e-4, 2.0, 3.0]
+    for i, cx in enumerate(centers):
+        im = ImageRecord(i, f"im{i}.jpg", 1)
+        im.keypoints = np.tile(np.array([[320.0, 240.0]]), (n_kps, 1))
+        im.point3D_ids = np.full(n_kps, -1, np.int64)
+        im.pose = Pose(np.array([1.0, 0, 0, 0]), np.array([-cx, 0.0, 0.0]))
+        im.registered = True
+        rec.add_image(im)
+    rng = np.random.default_rng(3)
+    for k in range(n_kps):
+        xyz = np.array([rng.uniform(-1, 1), rng.uniform(-1, 1), 8.0 + rng.uniform(0, 2)])
+        rec.add_point3D(xyz, [(0, k), (1, k), (2, k), (3, k)])
+    # all three candidates share all 40 points with im0; only im2/im3 have
+    # usable angles, so a 2-image bundle must pick them, not im1
+    sel = rec.find_local_bundle_ids(0, num_images=2)
+    assert set(sel) == {2, 3}
+    # with 3 slots the low-parallax image still gets filled in at the end
+    sel3 = rec.find_local_bundle_ids(0, num_images=3)
+    assert set(sel3) == {1, 2, 3}

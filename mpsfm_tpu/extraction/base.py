@@ -58,6 +58,10 @@ class Extraction(BaseClass):
         "pairs_type": "exhaustive",  # exhaustive | sequential | retrieval
         "n_retrieval": 20,
         "seq_overlap": 10,
+        "retrieval": "grid",  # grid | netvlad (needs retrieval_conf.weights_path)
+        "retrieval_conf": {},
+        "masks": "none",  # none | heuristic | onnx (sky masking)
+        "mask_conf": {},
         "feature_conf": {},
         "matcher_conf": {},
         "dense_matcher_conf": {},
@@ -140,8 +144,21 @@ class Extraction(BaseClass):
         return pairs
 
     def _global_descriptors(self, names):
-        """Cheap retrieval descriptor: downsampled blurred intensity grid
-        (NetVLAD port pending weights). Adequate to prune exhaustive pairs."""
+        """Global descriptors for retrieval (reference
+        pairs_from_retrieval.py:47-114): NetVLAD when configured with
+        weights (Pitts30K .mat or torch export), else the dependency-free
+        grid-intensity descriptor (validated against exhaustive recall in
+        tests/test_dense_retrieval_masks.py)."""
+        if self.conf.retrieval == "netvlad":
+            from mpsfm_tpu.extraction.retrieval import NetVLAD
+
+            nv = NetVLAD(dict(self.conf.retrieval_conf))
+            if nv.params is None:
+                self.log("netvlad retrieval requested without weights; grid fallback", level=0)
+            else:
+                return np.stack(
+                    [nv(io.read_image(self.scene_parser.image_path(n))) for n in names]
+                )
         import cv2
 
         descs = []
@@ -151,6 +168,47 @@ class Extraction(BaseClass):
             d = (d - d.mean()) / max(d.std(), 1e-6)
             descs.append(d)
         return np.stack(descs)
+
+    # ---------- sky masks (reference extract_masks, base.py:345-354) ----------
+    def extract_masks(self):
+        """Per-image sky masks -> masks.h5 (True = valid/non-sky); skipped
+        when the backend is 'none'. Cached like every other artifact
+        ('k' in --extract forces recompute)."""
+        if self.conf.masks == "none":
+            return None
+        import h5py
+
+        names = self.scene_parser.image_names()
+        path = self.paths["masks"]
+        done = set(io.list_h5_names(path)) if path.exists() and "k" not in self.extract else set()
+        todo = [n for n in names if n not in done]
+        if not todo:
+            return path
+        from mpsfm_tpu.extraction.masks import SkyMask
+
+        model = SkyMask({"backend": self.conf.masks, **dict(self.conf.mask_conf)})
+        for name in todo:
+            rgb = io.read_image(self.scene_parser.image_path(name))
+            mask = model(rgb)
+            with h5py.File(path, "a") as f:
+                key = str(name)
+                if key in f:
+                    del f[key]
+                f.create_dataset(key, data=mask.astype(bool), compression="gzip")
+            self.log(f"mask {name}: {(~mask).mean():.1%} sky", level=2)
+        return path
+
+    def load_mask(self, name):
+        """Valid-region (non-sky) mask for one image, or None."""
+        if self.conf.masks == "none" or not self.paths["masks"].exists():
+            return None
+        import h5py
+
+        with h5py.File(self.paths["masks"], "r") as f:
+            key = str(name)
+            if key not in f:
+                return None
+            return f[key][:]
 
     # ---------- features ----------
     def extract_features(self):

@@ -35,6 +35,14 @@ from mpsfm_tpu.extraction.nets.dpt import DPTDecoder, Head
 from mpsfm_tpu.extraction.nets.vit import ViT
 
 
+def kappa_to_alpha(kappa):
+    """vMF concentration -> expected angular error in radians (the exact
+    DSINE formula the reference uses, dsine.py:22-23)."""
+    return (2 * kappa / (kappa**2 + 1)) + np.exp(-kappa * np.pi) * np.pi / (
+        1 + np.exp(-kappa * np.pi)
+    )
+
+
 class MonoViT(nn.Module if nn else object):
     dim: int = 192
     depth_blocks: int = 6
@@ -126,8 +134,9 @@ class ViTMonoBackend:
             # model adds the proportional depth_uncertainty·d floor.
             "depth_variance": np.square(depth * np.clip(1.0 - conf, 1e-3, None)),
             "normals": normals,
-            # kappa -> angular variance (reference dsine.py kappa->alpha)
-            "normals_variance": 1.0 / np.maximum(kappa, 1e-3),
+            # kappa -> angular variance alpha^2 (reference
+            # metric3dv2.py:117 uses kappa_to_alpha(kappa)**2)
+            "normals_variance": kappa_to_alpha(np.maximum(kappa, 1e-3)) ** 2,
         }
         if self.flip_consistency:
             d2 = out["depth"][1][:, ::-1][:H, :W].astype(np.float64)  # unflip
@@ -139,8 +148,11 @@ class ViTMonoBackend:
             n2 = out["normals"][1][:, ::-1][:H, :W].astype(np.float64)
             n2[..., 0] *= -1.0  # mirror the x component back
             result["normals2"] = n2
-            result["normals2_variance"] = 1.0 / np.maximum(
-                out["kappa"][1][:, ::-1][:H, :W].astype(np.float64), 1e-3
+            result["normals2_variance"] = (
+                kappa_to_alpha(
+                    np.maximum(out["kappa"][1][:, ::-1][:H, :W].astype(np.float64), 1e-3)
+                )
+                ** 2
             )
         return result
 

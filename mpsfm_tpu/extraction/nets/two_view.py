@@ -249,7 +249,84 @@ def load_two_view_params(path, net: TwoViewNet):
 
         dummy = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3)))
         return ser.from_bytes(dummy, p.read_bytes())
-    raise NotImplementedError(
-        "torch CroCo/DUSt3R checkpoint conversion lands with the checkpoint; "
-        "save flax msgpack params meanwhile."
-    )
+    import torch
+
+    sd = torch.load(p, map_location="cpu")
+    if isinstance(sd, dict) and "model" in sd:  # CroCo/DUSt3R ckpt wrapper
+        sd = sd["model"]
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    return two_view_params_from_torch(sd, enc_depth=net.enc_depth, dec_depth=net.dec_depth)
+
+
+def two_view_params_from_torch(sd, enc_depth: int = 6, dec_depth: int = 4):
+    """CroCo/DUSt3R-style torch naming -> TwoViewNet params.
+
+    Expected keys (tested against a torch twin in tests/test_converters_dense.py):
+      encoder.*                 timm ViT (patch_embed.proj, blocks.N.*, norm)
+      dec_blocks.N.norm1 / attn.qkv / attn.proj          self-attention
+      dec_blocks.N.norm2 / norm_y / cross_attn.projq/projk/projv/proj
+      dec_blocks.N.norm3 / mlp.fc1 / mlp.fc2             feed-forward
+      decoder.* / point_head.* / conf_head.* / desc_head.*   DPT + heads
+        (same conv naming as mono_params_from_torch)
+    """
+    from mpsfm_tpu.extraction.nets.vit import vit_params_from_torch
+
+    def _t(w):
+        return np.asarray(w).T
+
+    def lin(k):
+        return {"kernel": _t(sd[k + ".weight"]), "bias": np.asarray(sd[k + ".bias"])}
+
+    def ln(k):
+        return {"scale": np.asarray(sd[k + ".weight"]), "bias": np.asarray(sd[k + ".bias"])}
+
+    def conv(k):
+        return {
+            "kernel": np.transpose(np.asarray(sd[k + ".weight"]), (2, 3, 1, 0)),
+            "bias": np.asarray(sd[k + ".bias"]),
+        }
+
+    params = {"encoder": vit_params_from_torch(sd, depth=enc_depth, prefix="encoder.")["params"]}
+    for i in range(dec_depth):
+        b = f"dec_blocks.{i}."
+        params[f"dec_{i}"] = {
+            "norm1": ln(b + "norm1"),
+            "self_attn": {"qkv": lin(b + "attn.qkv"), "proj": lin(b + "attn.proj")},
+            "norm2": ln(b + "norm2"),
+            "norm_ctx": ln(b + "norm_y"),
+            "cross_attn": {
+                "q": lin(b + "cross_attn.projq"),
+                "k": lin(b + "cross_attn.projk"),
+                "v": lin(b + "cross_attn.projv"),
+                "proj": lin(b + "cross_attn.proj"),
+            },
+            "norm3": ln(b + "norm3"),
+            "mlp_fc1": lin(b + "mlp.fc1"),
+            "mlp_fc2": lin(b + "mlp.fc2"),
+        }
+
+    def rcu(prefix):
+        return {"conv1": conv(prefix + ".conv1"), "conv2": conv(prefix + ".conv2")}
+
+    dec = {}
+    for i in range(4):
+        dec[f"read_{i}"] = conv(f"decoder.read_{i}")
+        dec[f"proj_{i}"] = conv(f"decoder.proj_{i}")
+    for i in range(4):
+        f = {}
+        if i != 3:
+            f["rcu1"] = rcu(f"decoder.fuse_{i}.rcu1")
+        f["rcu2"] = rcu(f"decoder.fuse_{i}.rcu2")
+        f["project"] = conv(f"decoder.fuse_{i}.project")
+        dec[f"fuse_{i}"] = f
+    params["decoder"] = dec
+
+    def head(prefix):
+        return {"conv1": conv(prefix + ".conv1"), "conv2": conv(prefix + ".conv2"), "out": conv(prefix + ".out")}
+
+    params["point_head"] = head("point_head")
+    params["conf_head"] = head("conf_head")
+    params["desc_head"] = head("desc_head")
+    return {"params": jax.tree_util.tree_map(jnp.asarray, params)}

@@ -87,7 +87,8 @@ class ViT(nn.Module if nn else object):
         if (h, w) != pos.shape[1:3]:
             import jax
 
-            pos = jax.image.resize(pos, (1, h, w, self.dim), "bilinear")
+            # antialias=False matches torch F.interpolate (timm pos resize)
+            pos = jax.image.resize(pos, (1, h, w, self.dim), "bilinear", antialias=False)
         y = y + pos.reshape(1, h * w, self.dim)
         if self.with_cls:
             cls = self.param("cls_token", nn.initializers.normal(0.02), (1, 1, self.dim))

@@ -107,23 +107,55 @@ class SyntheticOracleBackend:
         return out
 
 
+# Architecture presets for the named neural backends (the framework's
+# ViT-DPT class — reference arch sizes: giant2 ~1.0B ViT-g, large ViT-L,
+# small ViT-S; canonical-focal convention like Metric3D's 1000px space).
+ARCH_PRESETS = {
+    "metric3dv2-giant2": {"dim": 1408, "depth_blocks": 40, "num_heads": 16, "feat": 256},
+    "metric3dv2-large": {"dim": 1024, "depth_blocks": 24, "num_heads": 16, "feat": 256},
+    "metric3dv2-small": {"dim": 384, "depth_blocks": 12, "num_heads": 6, "feat": 128},
+    "depthpro": {"dim": 1024, "depth_blocks": 24, "num_heads": 16, "feat": 256},
+    "depthanythingv2-outdoor": {"dim": 1024, "depth_blocks": 24, "num_heads": 16, "feat": 256},
+    "dsine": {"dim": 384, "depth_blocks": 12, "num_heads": 6, "feat": 128},
+}
+
+
 class NeuralDepthBackend:
-    """Placeholder for ported depth/normal networks (Metric3Dv2, DepthPro,
-    DepthAnythingV2, DSINE). Activates when a checkpoint path is supplied;
-    raises a clear error otherwise (no weights ship in zero-egress images).
-    """
+    """Named neural depth/normal backends (metric3dv2-*, depthpro,
+    depthanythingv2-*, dsine) on the framework's MonoViT (ViT-DPT) class.
+
+    Activates the moment ``conf.weights_path`` points at a checkpoint
+    (flax msgpack or a torch state dict in the documented naming —
+    converter forward-parity-tested in tests/test_converters_dense.py);
+    without weights, calling it raises a clear error (zero-egress images
+    ship no checkpoints). Per-name uncertainty calibrations and arch
+    presets are applied automatically; flip-consistency for ``-fc``
+    variants. Replaces the reference wrappers at
+    mpsfm/extraction/imagewise/geometry/models/depth/metric3dv2.py:29-120."""
 
     def __init__(self, name, conf=None):
         self.name = name
-        self.conf = conf or {}
-        wp = self.conf.get("weights_path")
+        conf = dict(conf or {})
+        base = name[:-3] if name.endswith("-fc") else name
+        for k, v in ARCH_PRESETS.get(base, {}).items():
+            conf.setdefault(k, v)
+        for k, v in CALIBRATIONS.get(base, {}).items():
+            if v is not None:
+                conf.setdefault(k, v)
+        if name.endswith("-fc"):
+            conf.setdefault("flip_consistency", True)
+        conf.setdefault("canonical_focal", 1000.0)
+        self.conf = conf
+        self.backend = None
+        wp = conf.get("weights_path")
         if wp and Path(wp).exists():
-            raise NotImplementedError(
-                f"{name}: Flax port pending — checkpoint found at {wp}; "
-                "the architecture port lands with weight-conversion support."
-            )
+            from mpsfm_tpu.extraction.nets.mono import ViTMonoBackend
+
+            self.backend = ViTMonoBackend(conf)
 
     def __call__(self, image_rgb, **kw):
+        if self.backend is not None:
+            return self.backend(image_rgb, **kw)
         raise RuntimeError(
             f"Depth backend '{self.name}' has no weights in this environment. "
             "Use 'measured' (RGB-D), provide cached priors (HDF5), or supply "

@@ -31,31 +31,45 @@ _VGG_LAYOUT = [
 
 
 def vgg16_features(params, img):
-    """img (B,H,W,3) in [0,1] RGB -> conv5_3 relu features (B,h,w,512)."""
-    mean = jnp.asarray([0.485, 0.456, 0.406])
-    std = jnp.asarray([0.229, 0.224, 0.225])
-    x = (img - mean) / std
+    """img (B,H,W,3) in [0,1] RGB -> conv5_3 features (B,h,w,512).
+
+    Matches the reference NetVLAD exactly (netvlad.py:118-141): input is
+    scaled to 0-255 and the checkpoint's averageImage mean subtracted
+    (std=1); torchvision children()[:-2] drops the final ReLU+pool, so
+    conv5_3 output is NOT rectified."""
+    mean = params.get("preproc_mean", jnp.zeros(3))
+    x = img * 255.0 - mean
+    last = len(_VGG_LAYOUT) - 1
     for i, (ch, pool) in enumerate(_VGG_LAYOUT):
         w, b = params[f"conv{i}"]["w"], params[f"conv{i}"]["b"]
-        x = jax.nn.relu(_conv(x, w, b))
+        x = _conv(x, w, b)
+        if i != last:
+            x = jax.nn.relu(x)
         if pool:
             x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
     return x
 
 
 def netvlad_pool(params, feats):
-    """NetVLAD aggregation: feats (B,h,w,D) -> (B, K*D) intra-normalized."""
+    """NetVLAD aggregation: feats (B,h,w,D) -> (B, D*K).
+
+    Mirrors the reference NetVLADLayer (netvlad.py:18-40): pre-normalize
+    descriptors over D, bias-free soft assignment, residuals to centers,
+    intra-normalization over D per cluster, flatten in (D,K) order (the
+    checkpoint's whitening matrix expects d*K+k indexing)."""
     B, h, w, D = feats.shape
     x = feats.reshape(B, h * w, D)
     x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
-    # soft assignment: conv 1x1 == dense
-    logits = jnp.einsum("bnd,kd->bnk", x, params["assign_w"]) + params["assign_b"]
+    # soft assignment: conv 1x1 == dense (score_bias=False in the checkpoint)
+    logits = jnp.einsum("bnd,kd->bnk", x, params["assign_w"])
+    if "assign_b" in params:
+        logits = logits + params["assign_b"]
     assign = jax.nn.softmax(logits, axis=-1)  # (B,N,K)
     centers = params["centers"]  # (K,D)
     resid = x[:, :, None, :] - centers[None, None]  # (B,N,K,D)
     vlad = jnp.einsum("bnk,bnkd->bkd", assign, resid)
     vlad = vlad / jnp.maximum(jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-12)
-    vlad = vlad.reshape(B, -1)
+    vlad = vlad.transpose(0, 2, 1).reshape(B, -1)  # (B, D*K), d-major
     return vlad / jnp.maximum(jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-12)
 
 
@@ -72,25 +86,70 @@ class NetVLAD:
 
     @staticmethod
     def load_weights(path):
-        """Load the Pitts30K matconvnet .mat checkpoint (reference uses
-        scipy.io) or a torch state dict, converting to the param tree."""
+        """Load the Pitts30K matconvnet .mat checkpoint (the reference's
+        format, netvlad.py:73-121) or a torch state dict in the
+        reference-wrapper naming (backbone.N / netvlad.score_proj,
+        netvlad.centers / whiten), converting to the param tree."""
+        if str(path).endswith(".mat"):
+            return NetVLAD._load_mat(path)
         import torch
 
-        sd = torch.load(path, map_location="cpu") if str(path).endswith((".pt", ".pth")) else None
-        if sd is None:
-            raise NotImplementedError("matconvnet .mat conversion pending (use torch export)")
+        sd = torch.load(path, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        sd = {k: np.asarray(v) for k, v in sd.items()}
+        return NetVLAD.params_from_torch_state_dict(sd)
+
+    @staticmethod
+    def params_from_torch_state_dict(sd):
+        """Reference-wrapper torch naming -> param tree (see the reference
+        NetVLAD._init for the layer layout this mirrors)."""
         params = {}
         conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
         for i, ti in enumerate(conv_idx):
-            w = np.asarray(sd[f"backbone.{ti}.weight"])
+            w = np.asarray(sd[f"backbone.{ti}.weight"])  # (O,I,kh,kw)
             b = np.asarray(sd[f"backbone.{ti}.bias"])
             params[f"conv{i}"] = {"w": np.transpose(w, (2, 3, 1, 0)), "b": b}
-        params["assign_w"] = np.asarray(sd["netvlad.conv.weight"])[:, :, 0, 0]
-        params["assign_b"] = np.asarray(sd["netvlad.conv.bias"])
-        params["centers"] = -np.asarray(sd["netvlad.centroids"])
+        # score_proj is a bias-free Conv1d with kernel (K, D, 1)
+        params["assign_w"] = np.asarray(sd["netvlad.score_proj.weight"])[:, :, 0]
+        if "netvlad.score_proj.bias" in sd:
+            params["assign_b"] = np.asarray(sd["netvlad.score_proj.bias"])
+        params["centers"] = np.asarray(sd["netvlad.centers"]).T  # (D,K) -> (K,D)
         if "whiten.weight" in sd:
-            params["whiten_w"] = np.asarray(sd["whiten.weight"])
+            params["whiten_w"] = np.asarray(sd["whiten.weight"])  # (4096, D*K)
             params["whiten_b"] = np.asarray(sd["whiten.bias"])
+        if "preproc_mean" in sd:
+            params["preproc_mean"] = np.asarray(sd["preproc_mean"]).reshape(3)
+        return jax.tree.map(jnp.asarray, params)
+
+    @staticmethod
+    def _load_mat(path):
+        """Parse the matconvnet Pitts30K_struct.mat exactly like the
+        reference (netvlad.py:73-121): conv weights SxSxIxO at layers
+        0..28, NetVLAD assignment+centers at layer 30 (centers negated),
+        whitening 1x1xINxOUT at layer 33, averageImage preprocessing."""
+        from scipy.io import loadmat
+
+        mat = loadmat(path, struct_as_record=False, squeeze_me=True)
+        layers = mat["net"].layers
+        params = {}
+        conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+        for i, li in enumerate(conv_idx):
+            w = np.asarray(layers[li].weights[0], np.float32)  # S,S,I,O
+            b = np.asarray(layers[li].weights[1], np.float32).reshape(-1)
+            if w.ndim == 3:  # first conv: S,S,O with I=3 squeezed is impossible; guard I=1
+                w = w[:, :, None, :]
+            params[f"conv{i}"] = {"w": w, "b": b}
+        score_w = np.asarray(layers[30].weights[0], np.float32)  # (D,K)
+        center_w = -np.asarray(layers[30].weights[1], np.float32)  # (D,K)
+        params["assign_w"] = score_w.T  # (K,D)
+        params["centers"] = center_w.T  # (K,D)
+        w = np.asarray(layers[33].weights[0], np.float32)  # 1,1,IN,OUT
+        b = np.asarray(layers[33].weights[1], np.float32).reshape(-1)
+        params["whiten_w"] = w.reshape(w.shape[-2], w.shape[-1]).T  # (OUT,IN)
+        params["whiten_b"] = b
+        avg = np.asarray(mat["net"].meta.normalization.averageImage, np.float32)
+        params["preproc_mean"] = avg.reshape(-1)[:3]
         return jax.tree.map(jnp.asarray, params)
 
     def init_random(self, seed=0, K=64, D=512):

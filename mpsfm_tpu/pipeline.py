@@ -65,6 +65,7 @@ class ReconstructionManager(BaseClass):
                 self.extractor.use_measured()
             else:
                 self.extractor.extract_mono()
+        self.extractor.extract_masks()
         if extract_only:
             return None, True
 
@@ -108,8 +109,11 @@ class ReconstructionManager(BaseClass):
 
                 _, unc = get_keypoints(self.extractor.paths["sfeats"], im.name, return_uncertainty=True)
                 im.kp_std = float(unc) if unc else 1.0
+                # sky mask (reference Image.init_depth, scene/image/base.py:89-116)
+                mask = self.extractor.load_mask(im.name)
                 pri = ImagePriors(
-                    self.conf.image_priors, rec, imid, depth_dict=depth_dict, normals_dict=normals_dict
+                    self.conf.image_priors, rec, imid,
+                    depth_dict=depth_dict, normals_dict=normals_dict, mask=mask,
                 )
                 im.priors = pri
                 im.depth = pri.depth

@@ -313,3 +313,85 @@ def test_lightglue_padded_matches_unpadded():
         lg._forward(lg.params, pad(k0, P), pad(k1, P), pad(d0, P), pad(d1, P), m0, m1)
     )
     np.testing.assert_allclose(s_pad[0, :N0, :N1], s_ref[0], atol=1e-4)
+
+
+# ---------------------------------------------------------------- NetVLAD
+class TorchNetVLADLayer(tnn.Module):
+    """Reference NetVLADLayer (netvlad.py:18-40)."""
+
+    def __init__(self, input_dim=512, K=64, score_bias=False, intranorm=True):
+        super().__init__()
+        self.score_proj = tnn.Conv1d(input_dim, K, kernel_size=1, bias=score_bias)
+        centers = tnn.parameter.Parameter(torch.empty([input_dim, K]))
+        tnn.init.xavier_uniform_(centers)
+        self.register_parameter("centers", centers)
+        self.intranorm = intranorm
+        self.output_dim = input_dim * K
+
+    def forward(self, x):  # x (b, D, N)
+        b = x.size(0)
+        scores = self.score_proj(x)
+        scores = F.softmax(scores, dim=1)
+        diff = x.unsqueeze(2) - self.centers.unsqueeze(0).unsqueeze(-1)
+        desc = (scores.unsqueeze(1) * diff).sum(dim=-1)
+        if self.intranorm:
+            desc = F.normalize(desc, dim=1)
+        desc = desc.view(b, -1)
+        return F.normalize(desc, dim=1)
+
+
+def _torch_vgg16_trunk():
+    """torchvision vgg16().features children()[:-2] layout, built directly
+    (conv indices 0,2,5,7,10,12,14,17,19,21,24,26,28; ends at conv5_3
+    WITHOUT the final ReLU/pool — reference netvlad.py:66-69)."""
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512]
+    layers = []
+    c_in = 3
+    for v in cfg:
+        if v == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers += [tnn.Conv2d(c_in, v, 3, padding=1), tnn.ReLU(inplace=True)]
+            c_in = v
+    return tnn.Sequential(*layers[:-1])  # drop the trailing ReLU after conv5_3
+
+
+class TorchNetVLAD(tnn.Module):
+    """Reference NetVLAD wrapper forward (netvlad.py:123-146)."""
+
+    def __init__(self, mean):
+        super().__init__()
+        self.backbone = _torch_vgg16_trunk()
+        self.netvlad = TorchNetVLADLayer()
+        self.whiten = tnn.Linear(self.netvlad.output_dim, 4096)
+        self.mean = mean  # (3,) on the 0-255 scale
+
+    def forward(self, image):  # (B,3,H,W) in [0,1]
+        image = torch.clamp(image * 255, 0.0, 255.0)
+        image = image - image.new_tensor(self.mean).view(1, -1, 1, 1)
+        descriptors = self.backbone(image)
+        b, c, _, _ = descriptors.size()
+        descriptors = descriptors.view(b, c, -1)
+        descriptors = F.normalize(descriptors, dim=1)
+        desc = self.netvlad(descriptors)
+        desc = self.whiten(desc)
+        return F.normalize(desc, dim=1)
+
+
+def test_netvlad_torch_parity():
+    from mpsfm_tpu.extraction.retrieval import NetVLAD
+
+    torch.manual_seed(0)
+    mean = np.array([123.68, 116.779, 103.939], np.float32)
+    tnet = TorchNetVLAD(mean).eval()
+    # keep activations sane with random weights
+    x = torch.rand(1, 3, 64, 96)
+    with torch.no_grad():
+        ref = tnet(x).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    sd["preproc_mean"] = mean
+    nv = NetVLAD()
+    nv.params = NetVLAD.params_from_torch_state_dict(sd)
+    out = np.asarray(nv._fwd(nv.params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(out, ref, atol=2e-4)

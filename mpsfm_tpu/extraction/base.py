@@ -272,19 +272,29 @@ class Extraction(BaseClass):
         writer = WorkQueue(
             lambda item: io.write_matches(path, item[0], item[1], item[2], item[3])
         )
-        for name0, name1 in pairs:
-            if io.names_to_pair(name0, name1) in existing:
-                continue
-            kps0, desc0 = feat(name0)
-            kps1, desc1 = feat(name1)
-            if isinstance(matcher, LightGlue):
-                sz0 = io.read_image(self.scene_parser.image_path(name0), True).shape[::-1]
-                sz1 = io.read_image(self.scene_parser.image_path(name1), True).shape[::-1]
-                out = matcher(kps0, desc0, sz0, kps1, desc1, sz1)
-            else:
+        todo = [p for p in pairs if io.names_to_pair(*p) not in existing]
+        if isinstance(matcher, LightGlue):
+            # batched-pairs path: all pairs stream through the MXU in a few
+            # bucketed (B, N0, N1) programs — no per-pair host round-trips
+            sizes = {}
+
+            def size(name):
+                if name not in sizes:
+                    sizes[name] = io.read_image(self.scene_parser.image_path(name), True).shape[::-1]
+                return sizes[name]
+
+            batch = [(*feat(n0), size(n0), *feat(n1), size(n1)) for n0, n1 in todo]
+            outs = matcher.match_pairs(batch)
+            for (name0, name1), out in zip(todo, outs):
+                writer.put((name0, name1, out["matches0"], out["matching_scores0"]))
+                self.log(f"matches {name0}-{name1}: {(out['matches0'] >= 0).sum()}", level=2)
+        else:
+            for name0, name1 in todo:
+                kps0, desc0 = feat(name0)
+                kps1, desc1 = feat(name1)
                 out = matcher(desc0, desc1)
-            writer.put((name0, name1, out["matches0"], out["matching_scores0"]))
-            self.log(f"matches {name0}-{name1}: {(out['matches0'] >= 0).sum()}", level=2)
+                writer.put((name0, name1, out["matches0"], out["matching_scores0"]))
+                self.log(f"matches {name0}-{name1}: {(out['matches0'] >= 0).sum()}", level=2)
         writer.join()
         return path
 

@@ -247,14 +247,73 @@ class LightGlue:
         return scores
 
     # ---------- host API ----------
+    @staticmethod
+    def _bucket(n):
+        b = 512
+        while b < n:
+            b *= 2
+        return b
+
+    def match_pairs(self, pairs):
+        """Batched-pairs matching: ``pairs`` is a list of
+        (kps0, desc0, wh0, kps1, desc1, wh1). Pairs are bucketed by padded
+        keypoint counts and each bucket runs as ONE jitted (B, N0, N1)
+        program — keypoint-pair batches stream through the MXU with no
+        host round-trips between pairs (BASELINE.md "LightGlue pairs/s
+        per chip"). Returns a list of {matches0, matching_scores0}."""
+        assert self.params is not None, "load weights or call init_random() first"
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i, (k0, d0, _, k1, d1, _) in enumerate(pairs):
+            key = (self._bucket(len(k0)), self._bucket(len(k1)))
+            buckets.setdefault(key, []).append(i)
+        results: list[dict] = [None] * len(pairs)
+        for (b0, b1), idxs in buckets.items():
+            B = len(idxs)
+            K0 = np.zeros((B, b0, 2), np.float32)
+            K1 = np.zeros((B, b1, 2), np.float32)
+            D0 = np.zeros((B, b0, pairs[idxs[0]][1].shape[1]), np.float32)
+            D1 = np.zeros((B, b1, pairs[idxs[0]][4].shape[1]), np.float32)
+            m0 = np.zeros((B, b0), bool)
+            m1 = np.zeros((B, b1), bool)
+            for j, i in enumerate(idxs):
+                k0, d0, wh0, k1, d1, wh1 = pairs[i]
+                n0, n1 = len(k0), len(k1)
+                K0[j, :n0] = np.asarray(normalize_keypoints(jnp.asarray(k0, jnp.float32), wh0))
+                K1[j, :n1] = np.asarray(normalize_keypoints(jnp.asarray(k1, jnp.float32), wh1))
+                D0[j, :n0] = d0
+                D1[j, :n1] = d1
+                m0[j, :n0] = True
+                m1[j, :n1] = True
+            scores = np.asarray(
+                self._jit_fwd(
+                    self.params,
+                    jnp.asarray(K0), jnp.asarray(K1),
+                    jnp.asarray(D0), jnp.asarray(D1),
+                    jnp.asarray(m0), jnp.asarray(m1),
+                ),
+                np.float32,
+            )
+            for j, i in enumerate(idxs):
+                n0, n1 = len(pairs[i][0]), len(pairs[i][3])
+                results[i] = self._extract_matches(scores[j, :n0, :n1])
+        return results
+
+    def _extract_matches(self, scores):
+        prob = np.exp(scores)
+        n0 = scores.shape[0]
+        best1 = prob.argmax(1)
+        best0 = prob.argmax(0)
+        mutual = best0[best1] == np.arange(n0)
+        valid = mutual & (prob[np.arange(n0), best1] > self.conf["filter_threshold"])
+        matches0 = np.where(valid, best1, -1)
+        return {
+            "matches0": matches0,
+            "matching_scores0": np.where(valid, prob[np.arange(n0), best1], 0.0),
+        }
+
     def __call__(self, kps0, desc0, wh0, kps1, desc1, wh1):
         assert self.params is not None, "load weights or call init_random() first"
-
-        def bucket(n):
-            b = 512
-            while b < n:
-                b *= 2
-            return b
+        bucket = self._bucket
 
         n0, n1 = len(kps0), len(kps1)
         b0, b1 = bucket(n0), bucket(n1)
@@ -279,14 +338,4 @@ class LightGlue:
             jnp.asarray(m0)[None],
             jnp.asarray(m1)[None],
         )[0]
-        scores = np.asarray(scores, np.float32)[:n0, :n1]
-        prob = np.exp(scores)
-        best1 = prob.argmax(1)
-        best0 = prob.argmax(0)
-        mutual = best0[best1] == np.arange(n0)
-        valid = mutual & (prob[np.arange(n0), best1] > self.conf["filter_threshold"])
-        matches0 = np.where(valid, best1, -1)
-        return {
-            "matches0": matches0,
-            "matching_scores0": np.where(valid, prob[np.arange(n0), best1], 0.0),
-        }
+        return self._extract_matches(np.asarray(scores, np.float32)[:n0, :n1])

@@ -312,6 +312,8 @@ def diag_inverse_at_batch_anchors(anch, rowcol, p: BiniParams, chunk: int, *pair
     )(packed, rowcol)
 
 
+
+
 @jax.jit
 def take_z(z_batch, pos):
     """Device-side z_batch[pos] with a traced index — one compile per

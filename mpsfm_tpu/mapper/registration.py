@@ -35,8 +35,157 @@ def _pad2(a, n):
     return out
 
 
+def _p3p_grunert_np(X, f):
+    """Grunert's P3P: world points X (3,3), unit bearings f (3,3) ->
+    list of (R, t) with x_cam = R x_world + t (COLMAP's P3P estimator
+    analog; host numpy — used only for tiny problems)."""
+    a2 = float(((X[1] - X[2]) ** 2).sum())
+    b2 = float(((X[0] - X[2]) ** 2).sum())
+    c2 = float(((X[0] - X[1]) ** 2).sum())
+    if min(a2, b2, c2) < 1e-12:
+        return []
+    ca = float(f[1] @ f[2])  # alpha: angle at rays 2-3
+    cb = float(f[0] @ f[2])  # beta: rays 1-3
+    cg = float(f[0] @ f[1])  # gamma: rays 1-2
+    q = (a2 - c2) / b2
+    r = (a2 + c2) / b2
+    s = (b2 - c2) / b2
+    u = (b2 - a2) / b2
+    A4 = (q - 1.0) ** 2 - 4.0 * c2 / b2 * ca * ca
+    A3 = 4.0 * (q * (1.0 - q) * cb - (1.0 - r) * ca * cg + 2.0 * c2 / b2 * ca * ca * cb)
+    A2 = 2.0 * (q * q - 1.0 + 2.0 * q * q * cb * cb + 2.0 * s * ca * ca - 4.0 * r * ca * cb * cg + 2.0 * u * cg * cg)
+    A1 = 4.0 * (-q * (1.0 + q) * cb + 2.0 * a2 / b2 * cg * cg * cb - (1.0 - r) * ca * cg)
+    A0 = (1.0 + q) ** 2 - 4.0 * a2 / b2 * cg * cg
+    coeffs = np.array([A4, A3, A2, A1, A0])
+    if not np.isfinite(coeffs).all() or abs(A4) < 1e-14:
+        coeffs = coeffs[1:] if abs(A4) < 1e-14 else coeffs
+    if len(coeffs) < 2:
+        return []
+    roots = np.roots(coeffs)
+    poses = []
+    for v in roots:
+        if abs(v.imag) > 1e-6 or v.real <= 0:
+            continue
+        v = float(v.real)
+        denom = 2.0 * (cg - v * ca)
+        if abs(denom) < 1e-12:
+            continue
+        uu = ((-1.0 + q) * v * v - 2.0 * q * cb * v + 1.0 + q) / denom
+        if uu <= 0:
+            continue
+        s1sq = b2 / (1.0 + v * v - 2.0 * v * cb)
+        if s1sq <= 0:
+            continue
+        s1 = np.sqrt(s1sq)
+        s2 = uu * s1
+        s3 = v * s1
+        Pc = np.stack([s1 * f[0], s2 * f[1], s3 * f[2]])  # camera-frame points
+        # absolute orientation (Kabsch, no scale): Pc = R X + t
+        muw = X.mean(0)
+        muc = Pc.mean(0)
+        H = (X - muw).T @ (Pc - muc)
+        U, _, Vt = np.linalg.svd(H)
+        D = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+        R = Vt.T @ D @ U.T
+        t = muc - R @ muw
+        poses.append((R, t))
+    return poses
+
+
+def _gn_refine_pose_np(R, t, X, xyn, iters=10):
+    """Small numpy Gauss-Newton on reprojection (normalized coords).
+    Left-perturbation convention: R <- exp(w)R, so dPc/dw = -[R X]_x."""
+    for _ in range(iters):
+        Pc = X @ R.T + t
+        z = np.maximum(Pc[:, 2], 1e-8)
+        pred = Pc[:, :2] / z[:, None]
+        res = (pred - xyn).reshape(-1)
+        n = len(X)
+        J = np.zeros((2 * n, 6))
+        invz = 1.0 / z
+        x, y = Pc[:, 0], Pc[:, 1]
+        du = np.stack([invz, np.zeros(n), -x * invz * invz], -1)  # d(pred_u)/dPc
+        dv = np.stack([np.zeros(n), invz, -y * invz * invz], -1)
+        RX = Pc - t
+        for i, drow in ((0, du), (1, dv)):
+            # drow @ (-[RX]_x) == cross(RX, drow) row-wise
+            J[i::2, :3] = np.cross(RX, drow)
+            J[i::2, 3:] = drow
+        JTJ = J.T @ J + 1e-9 * np.eye(6)
+        delta = -np.linalg.solve(JTJ, J.T @ res)
+        dR = _rodrigues_np(delta[:3])
+        R = dR @ R
+        t = t + delta[3:]
+    return R, t
+
+
+def _matrix_to_quat_np(R):
+    w = np.sqrt(max(0.0, 1.0 + R[0, 0] + R[1, 1] + R[2, 2])) / 2.0
+    if w > 1e-8:
+        q = np.array([w, (R[2, 1] - R[1, 2]) / (4 * w), (R[0, 2] - R[2, 0]) / (4 * w), (R[1, 0] - R[0, 1]) / (4 * w)])
+    else:  # fall back through the largest diagonal element
+        i = int(np.argmax([R[0, 0], R[1, 1], R[2, 2]]))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(1e-12, 1.0 + R[i, i] - R[j, j] - R[k, k])) * 2.0
+        q = np.zeros(4)
+        q[0] = (R[k, j] - R[j, k]) / s
+        q[1 + i] = s / 4.0
+        q[1 + j] = (R[j, i] + R[i, j]) / s
+        q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q / np.linalg.norm(q)
+
+
+def _rodrigues_np(w):
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def run_pnp_small(xyz, xy_norm, thresh_norm_sq):
+    """Exhaustive P3P over all 3-subsets for tiny 2D-3D sets (4..5 points
+    — below the 6-point DLT minimal sample). Mirrors COLMAP's P3P-based
+    absolute pose path down to its true minimum."""
+    from itertools import combinations
+
+    X = np.asarray(xyz, np.float64)
+    xyn = np.asarray(xy_norm, np.float64)
+    rays = np.concatenate([xyn, np.ones((len(xyn), 1))], -1)
+    rays = rays / np.linalg.norm(rays, axis=-1, keepdims=True)
+    best = None
+    for idx in combinations(range(len(X)), 3):
+        for R, t in _p3p_grunert_np(X[list(idx)], rays[list(idx)]):
+            Pc = X @ R.T + t
+            z = Pc[:, 2]
+            pred = Pc[:, :2] / np.maximum(z, 1e-8)[:, None]
+            err = ((pred - xyn) ** 2).sum(-1)
+            inl = (err < thresh_norm_sq) & (z > 1e-8)
+            n_inl = int(inl.sum())
+            if best is None or n_inl > best[0]:
+                best = (n_inl, R, t, inl)
+    if best is None or best[0] < 3:
+        return {"pose": Pose.identity(), "inlier_mask": np.zeros(len(X), bool), "num_inliers": 0}
+    n_inl, R, t, inl = best
+    R, t = _gn_refine_pose_np(R, t, X[inl], xyn[inl])
+    Pc = X @ R.T + t
+    z = Pc[:, 2]
+    pred = Pc[:, :2] / np.maximum(z, 1e-8)[:, None]
+    err = ((pred - xyn) ** 2).sum(-1)
+    inl = (err < thresh_norm_sq) & (z > 1e-8)
+    return {
+        "pose": Pose(_matrix_to_quat_np(R), t),
+        "inlier_mask": inl,
+        "num_inliers": int(inl.sum()),
+    }
+
+
 def run_ransac_pnp(xyz, xy_norm, thresh_norm_sq, num_hyp=512, seed=0):
-    """Padded host wrapper around the jitted PnP RANSAC."""
+    """Padded host wrapper around the jitted PnP RANSAC (6-pt DLT
+    samples); falls back to exhaustive host P3P below 6 points."""
+    if len(xyz) < 6:
+        return run_pnp_small(xyz, xy_norm, thresh_norm_sq)
     n = len(xyz)
     nb = _bucket(n)
     valid = np.zeros(nb, bool)
@@ -446,8 +595,10 @@ class Registration(BaseClass):
             lift_3d = pts3d[lifted]
             all_kp = np.concatenate([tri_kp, lift_kp])
             all_3d = np.concatenate([tri_3d, lift_3d])
-            if len(all_kp) < 6:
-                self.log(f"Image {imid}: <6 2D-3D pairs")
+            if len(all_kp) < 4:
+                # reference gates at <3 (registration.py:165-167); our
+                # exhaustive-P3P small path needs one extra for scoring
+                self.log(f"Image {imid}: <4 2D-3D pairs")
                 return False
 
             xy_norm = cam.cam_from_img(im.keypoints[all_kp])
@@ -456,7 +607,7 @@ class Registration(BaseClass):
             if AP["num_inliers"] < max(ap_min, 6) and not force:
                 self.log(f"Image {imid}: AP inliers {AP['num_inliers']} < {ap_min}")
                 return False
-            if AP["num_inliers"] < 6:
+            if AP["num_inliers"] < 3:
                 return False
 
             # remap inlier mask back per-ref (reference :178-194)

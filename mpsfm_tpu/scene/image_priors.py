@@ -11,6 +11,7 @@ variances.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -310,15 +311,25 @@ class ImagePriors(BaseClass):
         assert self.rec.images[self.imid].registered and self.depth.activated
         return integrate_bundle_batched([self])[self.imid]
 
-    def calculate_int_covs_for_entire_image(self, downscaled=None, ignore_depths=False):
+    def calculate_int_covs_for_entire_image(
+        self, downscaled=None, ignore_depths=False, estimator=None, stride=16
+    ):
         """Per-pixel propagated depth VARIANCE map at the integration grid
         (reference calculate_int_covs_for_entire_image,
         integration.py:618-629): diag(H⁻¹) at every pixel × depth².
         ignore_depths drops the sparse-SfM anchor term from the Hessian
-        (reference calculate_hessian sparse_depth=False, :522-560)."""
+        (reference calculate_hessian sparse_depth=False, :522-560).
+
+        estimator: 'exact' runs one indicator-CG solve per pixel (H·W
+        solves — minutes per full-res image); 'subsampled' (default)
+        solves the exact diagonal on a stride-subsampled pixel grid and
+        bilinearly upsamples — diag(H⁻¹) is a smooth field in pixel
+        space, so interpolation error is small while the work drops by
+        stride² (~64-256x)."""
         from mpsfm_tpu.integration.bini import diag_inverse_at_batch_anchors
         from mpsfm_tpu.utils.interp import resize_bilinear
 
+        estimator = estimator or self.conf.get("whole_image_estimator", "subsampled")
         use_ds = self.conf.downscaled if downscaled is None else bool(downscaled)
         ds = self.conf.downscale_factor if use_ds else 1
         pl = self._anchor_payload(downscale=ds)
@@ -328,24 +339,54 @@ class ImagePriors(BaseClass):
         if ignore_depths:
             params = params._replace(lambda2=0.0)
         h, w = stat8.shape[-2:]
-        yy, xx = np.meshgrid(
-            np.arange(h, dtype=np.int32), np.arange(w, dtype=np.int32), indexing="ij"
-        )
-        Kq = h * w
-        # chunk-multiple (not power-of-two): whole-image queries are a
-        # one-off viz shape per grid; pow2 padding would waste up to 2x
-        Kp = ((Kq + 127) // 128) * 128
-        rowcol = np.zeros((1, 2, Kp), np.int32)
-        rowcol[0, 0, :Kq] = yy.reshape(-1)
-        rowcol[0, 1, :Kq] = xx.reshape(-1)
         anch = _pack_anchors(
             [(pl, z0_shift, prior_shift)], (h, w), 1, _pow2(max(len(pl), 1), 64)
         )
-        varlog = np.asarray(
-            diag_inverse_at_batch_anchors(
-                jnp.asarray(anch), jnp.asarray(rowcol), params, 128, (z0, stat8)
+        if estimator == "subsampled":
+            ys = np.arange(0, h, stride, dtype=np.int32)
+            xs = np.arange(0, w, stride, dtype=np.int32)
+            if ys[-1] != h - 1:
+                ys = np.append(ys, h - 1)
+            if xs[-1] != w - 1:
+                xs = np.append(xs, w - 1)
+            gy, gx = np.meshgrid(ys, xs, indexing="ij")
+            Kq = gy.size
+            Kp = ((Kq + 127) // 128) * 128
+            rowcol = np.zeros((1, 2, Kp), np.int32)
+            rowcol[0, 0, :Kq] = gy.reshape(-1)
+            rowcol[0, 1, :Kq] = gx.reshape(-1)
+            sub = np.asarray(
+                diag_inverse_at_batch_anchors(
+                    jnp.asarray(anch), jnp.asarray(rowcol), params, 128, (z0, stat8)
+                )
+            )[0, :Kq].reshape(len(ys), len(xs))
+            # exact values on a non-uniform stride grid -> full grid via
+            # separable linear interpolation at the true pixel positions
+            from scipy.interpolate import RegularGridInterpolator
+
+            interp = RegularGridInterpolator(
+                (ys.astype(np.float64), xs.astype(np.float64)), sub, method="linear"
             )
-        )[0, :Kq].reshape(h, w)
+            yy, xx = np.meshgrid(
+                np.arange(h, dtype=np.float64), np.arange(w, dtype=np.float64), indexing="ij"
+            )
+            varlog = interp(np.stack([yy.reshape(-1), xx.reshape(-1)], -1)).reshape(h, w)
+        else:
+            yy, xx = np.meshgrid(
+                np.arange(h, dtype=np.int32), np.arange(w, dtype=np.int32), indexing="ij"
+            )
+            Kq = h * w
+            # chunk-multiple (not power-of-two): whole-image queries are a
+            # one-off viz shape per grid; pow2 padding would waste up to 2x
+            Kp = ((Kq + 127) // 128) * 128
+            rowcol = np.zeros((1, 2, Kp), np.int32)
+            rowcol[0, 0, :Kq] = yy.reshape(-1)
+            rowcol[0, 1, :Kq] = xx.reshape(-1)
+            varlog = np.asarray(
+                diag_inverse_at_batch_anchors(
+                    jnp.asarray(anch), jnp.asarray(rowcol), params, 128, (z0, stat8)
+                )
+            )[0, :Kq].reshape(h, w)
         if ds > 1:
             varlog = resize_bilinear(np.asarray(varlog, np.float64), self._hw(1))
         d = self.depth

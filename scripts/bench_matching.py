@@ -48,5 +48,33 @@ def main():
     print(f"mutual-NN {N}x{N}x{D}: {B/dt:.0f} pairs/s  ({dt*1000/B:.2f} ms/pair, batch {B})")
 
 
+def lightglue():
+    """BASELINE.md row "LightGlue pairs/s per chip": the full 9-layer
+    LightGlue attention matcher, batched pairs in one jitted program
+    (throughput is weight-independent — random weights)."""
+    from mpsfm_tpu.extraction.matchers.lightglue import LightGlue
+
+    rng = np.random.default_rng(0)
+    B, N, D = 16, 2048, 256
+    lg = LightGlue({"dim": D, "num_heads": 4, "n_layers": 9})
+    lg.init_random(0)
+    k0 = jnp.asarray(rng.uniform(-1, 1, (B, N, 2)).astype(np.float32))
+    k1 = jnp.asarray(rng.uniform(-1, 1, (B, N, 2)).astype(np.float32))
+    d0 = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    d1 = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    m = jnp.ones((B, N), bool)
+
+    scores = lg._jit_fwd(lg.params, k0, k1, d0, d1, m, m)
+    float(np.asarray(scores).sum())
+    t0 = time.time()
+    runs = 3
+    for _ in range(runs):
+        scores = lg._jit_fwd(lg.params, k0, k1, d0, d1, m, m)
+        float(np.asarray(scores).sum())
+    dt = (time.time() - t0) / runs
+    print(f"LightGlue 9-layer {N}x{N} kps: {B/dt:.1f} pairs/s  ({dt*1000/B:.1f} ms/pair, batch {B})")
+
+
 if __name__ == "__main__":
     main()
+    lightglue()

@@ -395,3 +395,27 @@ def test_netvlad_torch_parity():
     nv.params = NetVLAD.params_from_torch_state_dict(sd)
     out = np.asarray(nv._fwd(nv.params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_lightglue_batched_pairs_match_single():
+    """match_pairs (bucketed (B,N0,N1) batches) reproduces per-pair calls."""
+    from mpsfm_tpu.extraction.matchers.lightglue import LightGlue
+
+    dim = 64
+    lg = LightGlue({"dim": dim, "num_heads": 4, "n_layers": 2})
+    lg.init_random(0)
+    rng = np.random.default_rng(1)
+    pairs = []
+    for n0, n1 in ((30, 41), (17, 23), (30, 40), (700, 90)):
+        k0 = rng.uniform(0, 600, (n0, 2)).astype(np.float32)
+        k1 = rng.uniform(0, 600, (n1, 2)).astype(np.float32)
+        d0 = rng.normal(size=(n0, dim)).astype(np.float32)
+        d1 = rng.normal(size=(n1, dim)).astype(np.float32)
+        pairs.append((k0, d0, (640, 480), k1, d1, (640, 480)))
+    batched = lg.match_pairs(pairs)
+    for p, out in zip(pairs, batched):
+        single = lg(*p)
+        np.testing.assert_array_equal(out["matches0"], single["matches0"])
+        np.testing.assert_allclose(
+            out["matching_scores0"], single["matching_scores0"], atol=1e-5
+        )

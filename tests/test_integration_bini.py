@@ -141,3 +141,23 @@ def test_int_covs_entire_image(rng):
     # dropping the sparse anchors cannot reduce uncertainty
     var_nd = pri.calculate_int_covs_for_entire_image(ignore_depths=True)
     assert np.median(var_nd / var) >= 0.99
+
+
+def test_int_covs_entire_image_subsampled_matches_exact(rng):
+    """The subsampled-exact whole-image diagonal estimator tracks the
+    full per-pixel indicator-CG sweep (VERDICT round-1 item 10)."""
+    from synthetic import PlaneScene
+
+    scene = PlaneScene(rng=rng, n_images=2, img_wh=(64, 48), focal=52.0, baseline=0.3)
+    rec, *_ = scene.build(with_priors=True)
+    for i in (0, 1):
+        rec.register_image(i)
+        rec.images[i].depth.activate()
+    pri = rec.images[0].priors
+    exact = pri.calculate_int_covs_for_entire_image(estimator="exact")
+    est = pri.calculate_int_covs_for_entire_image(estimator="subsampled", stride=8)
+    assert est.shape == exact.shape
+    assert np.isfinite(est).all() and (est >= 0).all()
+    rel = np.abs(est - exact) / np.maximum(exact, 1e-12)
+    # stochastic estimator: the bulk must track closely
+    assert np.median(rel) < 0.15, float(np.median(rel))

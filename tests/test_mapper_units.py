@@ -208,3 +208,40 @@ def test_dc_resample_blacklists_ap_inliers(rng):
     dc.at_failure(1)
     np.testing.assert_array_equal(im.ignore_matches_AP[0], np.array([True, True, True, False]))
     assert dc.reg_batch_dc_times_failed == 2
+
+
+def test_p3p_small_pnp_exact_recovery():
+    """Exhaustive-P3P small-count PnP (below the 6-pt DLT sample) recovers
+    an exact synthetic pose from 4-5 points (COLMAP P3P parity path)."""
+    from mpsfm_tpu.mapper.registration import run_pnp_small
+
+    rng = np.random.default_rng(3)
+    for n in (4, 5):
+        w = rng.normal(scale=0.3, size=3)
+        from mpsfm_tpu.mapper.registration import _rodrigues_np
+
+        R_gt = _rodrigues_np(w)
+        t_gt = np.array([0.2, -0.1, 0.3])
+        X = rng.uniform(-1, 1, (n, 3)) + np.array([0, 0, 6.0])
+        Pc = X @ R_gt.T + t_gt
+        assert (Pc[:, 2] > 0).all()
+        xyn = Pc[:, :2] / Pc[:, 2:]
+        out = run_pnp_small(X, xyn, 1e-8)
+        assert out["num_inliers"] == n
+        Pc2 = X @ out["pose"].rotation_matrix().T + out["pose"].t
+        np.testing.assert_allclose(Pc2[:, :2] / Pc2[:, 2:], xyn, atol=1e-6)
+
+
+def test_p3p_small_pnp_with_outlier():
+    from mpsfm_tpu.mapper.registration import run_pnp_small
+
+    rng = np.random.default_rng(5)
+    R_gt = np.eye(3)
+    t_gt = np.array([0.0, 0.0, 0.2])
+    X = rng.uniform(-1, 1, (5, 3)) + np.array([0, 0, 5.0])
+    Pc = X @ R_gt.T + t_gt
+    xyn = Pc[:, :2] / Pc[:, 2:]
+    xyn[4] += 0.1  # gross outlier
+    out = run_pnp_small(X, xyn, 1e-6)
+    assert out["num_inliers"] == 4
+    assert not out["inlier_mask"][4]

@@ -74,6 +74,10 @@ class LightGlue:
         "n_layers": 9,
         "filter_threshold": 0.1,
         "weights_path": None,
+        # inference compute dtype: bfloat16 streams the 9-layer attention
+        # stack through the MXU at full rate (the official matcher runs
+        # fp16); float32 for bit-level parity tests
+        "dtype": "bfloat16",
     }
 
     def __init__(self, conf=None):
@@ -87,7 +91,17 @@ class LightGlue:
             if "state_dict" in sd:
                 sd = sd["state_dict"]
             self.params = self.params_from_torch_state_dict(sd)
-        self._jit_fwd = jax.jit(self._forward)
+        if self.conf["dtype"] == "bfloat16":
+
+            def fwd(params, k0, k1, d0, d1, m0, m1):
+                bf = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
+                with jax.default_matmul_precision("default"):
+                    scores = self._forward(bf(params), bf(k0), bf(k1), bf(d0), bf(d1), m0, m1)
+                return scores.astype(jnp.float32)
+
+            self._jit_fwd = jax.jit(fwd)
+        else:
+            self._jit_fwd = jax.jit(self._forward)
 
     # ---------- parameter handling ----------
     def init_random(self, seed=0):
@@ -163,6 +177,54 @@ class LightGlue:
 
     # ---------- math ----------
     @staticmethod
+    def _attention(q, k, v, q_mask, kv_mask, sm_scale):
+        """softmax(q kᵀ · sm_scale) v with key-padding masks.
+
+        q/k/v (B,N,H,hd). On TPU in low precision this routes through the
+        Pallas flash-attention kernel (blockwise softmax — the (B,H,N,N)
+        logits never touch HBM, which is the entire cost of the einsum
+        path at N=2048); padding is expressed as segment ids. Falls back
+        to the fused-einsum path elsewhere."""
+        B, N, H, hd = q.shape
+        M = k.shape[1]
+        use_flash = (
+            q.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and N >= 256
+            and M >= 256
+            and N % 128 == 0
+            and M % 128 == 0
+        )
+        if use_flash:
+            try:
+                from jax.experimental.pallas.ops.tpu.flash_attention import (
+                    SegmentIds,
+                    flash_attention,
+                )
+
+                # queries all share segment 1 (pad queries still attend
+                # real keys — keeps their rows finite; they're masked out
+                # of the final scores anyway); pad KEYS get segment 0 so
+                # nobody attends them
+                seg = SegmentIds(
+                    q=jnp.ones_like(kv_mask, shape=q_mask.shape, dtype=jnp.int32),
+                    kv=kv_mask.astype(jnp.int32),
+                )
+                out = flash_attention(
+                    q.transpose(0, 2, 1, 3),
+                    k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3),
+                    segment_ids=seg,
+                    sm_scale=float(sm_scale),
+                )
+                return out.transpose(0, 2, 1, 3)
+            except Exception:  # pragma: no cover — kernel/shape unsupported
+                pass
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * sm_scale
+        logits = jnp.where(kv_mask[:, None, None, :], logits, -1e9)
+        return jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(logits, -1), v)
+
+    @staticmethod
     def _dense(p, x):
         return jnp.einsum("...i,oi->...o", x, p["w"]) + p["b"]
 
@@ -182,9 +244,7 @@ class LightGlue:
         q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
         q = apply_rotary(q, enc)
         k = apply_rotary(k, enc)
-        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(D // H)
-        logits = jnp.where(mask[:, None, None, :], logits, -1e9)
-        ctx = jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(logits, -1), v).reshape(B, N, D)
+        ctx = self._attention(q, k, v, mask, mask, 1.0 / np.sqrt(D // H)).reshape(B, N, D)
         msg = self._dense(p["out"], ctx)
         y = jnp.concatenate([x, msg], -1)
         ff = self._dense(p["ffn0"], y)
@@ -204,12 +264,9 @@ class LightGlue:
         qk1 = heads(self._dense(p["to_qk"], x1))
         v0 = heads(self._dense(p["to_v"], x0))
         v1 = heads(self._dense(p["to_v"], x1))
-        scale = 1.0 / (D // H) ** 0.25
-        logits = jnp.einsum("bnhd,bmhd->bhnm", qk0 * scale, qk1 * scale)
-        l0 = jnp.where(mask1[:, None, None, :], logits, -1e9)
-        l1 = jnp.where(mask0[:, None, None, :], logits.transpose(0, 1, 3, 2), -1e9)
-        m0 = jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(l0, -1), v1).reshape(B, -1, D)
-        m1 = jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(l1, -1), v0).reshape(B, -1, D)
+        scale = 1.0 / np.sqrt(D // H)  # hd^-0.25 applied to each side == this
+        m0 = self._attention(qk0, qk1, v1, mask0, mask1, scale).reshape(B, -1, D)
+        m1 = self._attention(qk1, qk0, v0, mask1, mask0, scale).reshape(B, -1, D)
 
         def ffn(x, msg):
             y = jnp.concatenate([x, self._dense(p["out"], msg)], -1)

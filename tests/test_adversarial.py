@@ -1,0 +1,114 @@
+"""Adversarial DC / scale-alignment tests (VERDICT round-1 item 9).
+
+The depth-consistency checker must reject a HALLUCINATED REGISTRATION
+(plausible-looking pose that is geometrically wrong — reference
+depthconsistency.py:62-159), and the metric-scale filter must fire when
+an image's prior scale disagrees grossly with the map (reference
+bundle_adjustment.py:204-228). Round 1 only exercised happy paths.
+"""
+
+import numpy as np
+import pytest
+
+from synthetic import PlaneScene
+
+from mpsfm_tpu.mapper.depth_consistency import DepthConsistencyChecker
+from mpsfm_tpu.scene.reconstruction import Pose
+
+
+def _two_view_rec(rng, n_images=2):
+    scene = PlaneScene(rng=rng, n_images=n_images, n_points=10, img_wh=(64, 48), focal=60.0)
+    rec, kps, matches, gt = scene.build(with_priors=True)
+    for i in range(n_images):
+        rec.images[i].registered = True
+        rec.images[i].pose = gt["poses"][i]
+    return rec, gt
+
+
+def test_dc_rejects_hallucinated_pose(rng):
+    """Correct depths, WRONG pose for view 1 (translated sideways +
+    rotated): the reprojection test must flag the registration even
+    though each depth map is individually plausible."""
+    rec, gt = _two_view_rec(rng)
+    dc = DepthConsistencyChecker({}, rec)
+    good = dc.check_bundle_depth_consistency(0, {"optim_ids": {0, 1}})
+    assert good < 0.15, good
+
+    # hallucinate: keep view 1's depth but move its pose far off
+    p = rec.images[1].pose
+    w = np.array([0.0, 0.35, 0.0])  # ~20 deg yaw
+    from mpsfm_tpu.mapper.registration import _rodrigues_np, _matrix_to_quat_np
+
+    R_bad = _rodrigues_np(w) @ p.rotation_matrix()
+    rec.images[1].pose = Pose(_matrix_to_quat_np(R_bad), p.t + np.array([1.2, 0.0, 0.0]))
+    dc2 = DepthConsistencyChecker({}, rec)
+    bad = dc2.check_bundle_depth_consistency(0, {"optim_ids": {0, 1}})
+    assert bad > good + 0.1, (good, bad)
+    assert bad > 0.15, bad
+
+
+def test_dc_low_overlap_no_false_rejection(rng):
+    """Views with small (but real) overlap and correct geometry must NOT
+    be rejected: the score only counts pixels that actually reproject."""
+    scene = PlaneScene(
+        rng=rng, n_images=2, n_points=10, img_wh=(64, 48), focal=60.0, baseline=1.1
+    )
+    rec, kps, matches, gt = scene.build(with_priors=True)
+    for i in (0, 1):
+        rec.images[i].registered = True
+        rec.images[i].pose = gt["poses"][i]
+    dc = DepthConsistencyChecker({}, rec)
+    score = dc.check_bundle_depth_consistency(0, {"optim_ids": {0, 1}})
+    assert score < 0.15, score
+
+
+def test_metric_scale_filter_fires(rng):
+    """An image whose depth prior implies a 3x-off metric scale: with
+    allow_metric_scale_filter the estimator must NOT adopt the corrupted
+    scale — it falls back to the map scale of the other images."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_ba import FakeDepth, make_synthetic_rec
+
+    from mpsfm_tpu.ba.shift_scale import optimize_prior_shiftscale
+
+    rec, gt = make_synthetic_rec(rng, n_cams=3, n_pts=80, noise_px=0.0, pose_noise=0.0)
+    for i in range(3):
+        fd = FakeDepth(rec, i, scale_err=(1 / 3.0) if i == 0 else 1.0)
+        fd.activated = False
+        rec.images[i].depth = fd
+    bundle = {"optim_ids": {0, 1, 2}, "ref_id": 0, "pts3D": set(rec.point_ids().tolist())}
+    ss, ok = optimize_prior_shiftscale(
+        rec, bundle, allow_metric_scale_filter=True, single_rescale=True
+    )
+    assert ok and 0 in ss
+    _, scale0 = ss[0]
+    # unfiltered estimate would be ~3.0 (priors 3x too small); the metric
+    # filter must reject those observations and fall back to map scale ~1
+    assert abs(scale0 - 1.0) < 0.2, scale0
+
+
+def test_metric_scale_filter_accepts_consistent(rng):
+    """Same setup with a CONSISTENT prior: the filter must not bias the
+    estimate away from the true scale."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_ba import FakeDepth, make_synthetic_rec
+
+    from mpsfm_tpu.ba.shift_scale import optimize_prior_shiftscale
+
+    rec, gt = make_synthetic_rec(rng, n_cams=3, n_pts=80, noise_px=0.0, pose_noise=0.0)
+    for i in range(3):
+        fd = FakeDepth(rec, i, scale_err=1.0)
+        fd.activated = False
+        rec.images[i].depth = fd
+    bundle = {"optim_ids": {0, 1, 2}, "ref_id": 0, "pts3D": set(rec.point_ids().tolist())}
+    ss, ok = optimize_prior_shiftscale(
+        rec, bundle, allow_metric_scale_filter=True, single_rescale=True
+    )
+    assert ok and 0 in ss
+    assert abs(ss[0][1] - 1.0) < 0.05, ss[0]

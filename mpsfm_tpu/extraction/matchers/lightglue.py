@@ -177,17 +177,62 @@ class LightGlue:
 
     # ---------- math ----------
     @staticmethod
+    def _attention_streaming(q, k, v, kv_mask, sm_scale, block=1024):
+        """Online-softmax attention over KV blocks (flash algorithm in
+        pure JAX). Per step only a (B,H,N,block) logits tile is live —
+        XLA fuses qk → mask → exp → row-reductions into one kernel, so
+        the full (B,H,N,M) logits never round-trip HBM (the entire cost
+        of the einsum path at N=2048). Softmax state and accumulator are
+        f32 regardless of input dtype (flash-standard accumulation).
+        Tunnel-friendly: no Pallas, compiles like any XLA program."""
+        B, N, H, hd = q.shape
+        M = k.shape[1]
+        block = min(block, M)
+        while M % block:  # keypoint buckets are powers of two; stay exact
+            block //= 2
+        nb = M // block
+        qT = q.transpose(0, 2, 1, 3)  # (B,H,N,hd)
+        kT = k.transpose(0, 2, 1, 3)
+        vT = v.transpose(0, 2, 1, 3)
+        m = jnp.full((B, H, N), -1e30, jnp.float32)
+        l = jnp.zeros((B, H, N), jnp.float32)
+        acc = jnp.zeros((B, H, N, hd), jnp.float32)
+        for b in range(nb):  # nb is tiny (M/1024): unrolled for fusion
+            kb = jax.lax.dynamic_slice_in_dim(kT, b * block, block, 2)
+            vb = jax.lax.dynamic_slice_in_dim(vT, b * block, block, 2)
+            mb = jax.lax.dynamic_slice_in_dim(kv_mask, b * block, block, 1)
+            s = jnp.einsum(
+                "bhnd,bhkd->bhnk", qT, kb, preferred_element_type=jnp.float32
+            ) * sm_scale
+            s = jnp.where(mb[:, None, None, :], s, -1e30)
+            m_new = jnp.maximum(m, s.max(-1))
+            p = jnp.exp(s - m_new[..., None])
+            corr = jnp.exp(m - m_new)
+            l = l * corr + p.sum(-1)
+            acc = acc * corr[..., None] + jnp.einsum(
+                "bhnk,bhkd->bhnd", p.astype(v.dtype), vb,
+                preferred_element_type=jnp.float32,
+            )
+            m = m_new
+        out = acc / jnp.maximum(l[..., None], 1e-30)
+        return out.astype(q.dtype).transpose(0, 2, 1, 3)
+
+    @staticmethod
     def _attention(q, k, v, q_mask, kv_mask, sm_scale):
         """softmax(q kᵀ · sm_scale) v with key-padding masks.
 
         q/k/v (B,N,H,hd). On TPU in low precision this routes through the
-        Pallas flash-attention kernel (blockwise softmax — the (B,H,N,N)
-        logits never touch HBM, which is the entire cost of the einsum
-        path at N=2048); padding is expressed as segment ids. Falls back
-        to the fused-einsum path elsewhere."""
+        streaming online-softmax path (the (B,H,N,N) logits never
+        materialize in HBM); `MPSFM_LG_ATTN=pallas` selects the Pallas
+        flash-attention kernel instead (faster on directly-attached TPU,
+        but its compile hangs on the axon tunnel), `=einsum` forces the
+        plain path; padding is expressed as segment ids / masks."""
+        import os
+
         B, N, H, hd = q.shape
         M = k.shape[1]
-        use_flash = (
+        mode = os.environ.get("MPSFM_LG_ATTN", "auto")
+        big = (
             q.dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"
             and N >= 256
@@ -195,7 +240,11 @@ class LightGlue:
             and N % 128 == 0
             and M % 128 == 0
         )
-        if use_flash:
+        if mode == "auto" and big:
+            return LightGlue._attention_streaming(q, k, v, kv_mask, sm_scale)
+        if mode == "stream":
+            return LightGlue._attention_streaming(q, k, v, kv_mask, sm_scale)
+        if mode == "pallas" and big:
             try:
                 from jax.experimental.pallas.ops.tpu.flash_attention import (
                     SegmentIds,

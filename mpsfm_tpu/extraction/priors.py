@@ -149,9 +149,12 @@ class NeuralDepthBackend:
         self.backend = None
         wp = conf.get("weights_path")
         if wp and Path(wp).exists():
-            from mpsfm_tpu.extraction.nets.mono import ViTMonoBackend
+            if base.startswith("depthanythingv2"):
+                self.backend = _DA2Backend(conf, base)
+            else:
+                from mpsfm_tpu.extraction.nets.mono import ViTMonoBackend
 
-            self.backend = ViTMonoBackend(conf)
+                self.backend = ViTMonoBackend(conf)
 
     def __call__(self, image_rgb, **kw):
         if self.backend is not None:
@@ -161,6 +164,40 @@ class NeuralDepthBackend:
             "Use 'measured' (RGB-D), provide cached priors (HDF5), or supply "
             "conf.weights_path."
         )
+
+
+class _DA2Backend:
+    """Architecture-exact DepthAnythingV2 (metric variants) -> prior maps.
+
+    Loads the official depth_anything_v2_metric_*_vit{s,b,l}.pth directly
+    (nets/depth_anything.py keeps the official parameter names); depth
+    variance from the per-estimator calibration, normals derived
+    geometrically. Replaces the reference wrapper
+    mpsfm/extraction/imagewise/geometry/models/depth/depthanything_v2.py."""
+
+    def __init__(self, conf, base):
+        from mpsfm_tpu.extraction.nets.depth_anything import DepthAnythingV2
+
+        conf = dict(conf)
+        conf.setdefault("encoder", conf.get("encoder", "vitl"))
+        conf.setdefault("depth_estimation_type", "metric")
+        # outdoor checkpoints were trained with max_depth 80, indoor 20
+        conf.setdefault("max_depth", 20.0 if base.endswith("indoor") else 80.0)
+        self.net = DepthAnythingV2(conf)
+        if self.net.params is None:
+            self.net.init_random(0)
+        self.rel_unc = conf.get("depth_uncertainty", 0.079)
+
+    def __call__(self, image_rgb, intrinsics=None, **kw):
+        d = np.asarray(self.net.infer_image(image_rgb), np.float64)
+        valid = d > 0
+        out = {"depth": d, "depth_variance": (d * self.rel_unc) ** 2, "valid": valid}
+        if intrinsics is not None:
+            fx, fy, cx, cy = intrinsics
+            fill = np.median(d[valid]) if valid.any() else 1.0
+            out["normals"] = normals_from_depth(np.where(valid, d, fill), fx, fy, cx, cy)
+            out["normals_variance"] = np.full(d.shape, (np.deg2rad(8.0)) ** 2)
+        return out
 
 
 def _vit_mono(conf=None):

@@ -458,12 +458,30 @@ def diag_inverse_at_batch(packed, p: BiniParams, rows, cols, chunk: int = 128):
 
 
 def _diag_inverse_at_impl(inp: BiniInputs, p: BiniParams, z, rows, cols, chunk: int = 128):
+    """diag(H⁻¹) at query pixels by DEFLATED Jacobi-PCG indicator solves.
+
+    H's near-kernel is the smooth gauge modes (the prior precision pins
+    the scale only weakly against the dominant smoothness stencil, so
+    H⁻¹ impulses are ~constant across the image — measured: a plain PCG
+    needs hundreds of iterations to recover that global component).
+    Deflating the {1, x, y} subspace solves the smooth component exactly
+    in a 3x3 system and leaves PCG only the local part: ~1% error in 10
+    iterations vs ~95% for plain PCG at the same count."""
     shape = inp.z0.shape
     dtype = inp.z0.dtype
     mxp, mxm, myp, mym = _masks(shape, dtype)
     wx, wy = _weights(z, p.k)
     diag = _diag(inp, p, wx, wy, mxp, mxm, myp, mym)
     mv = lambda v: _matvec(inp, p, wx, wy, mxp, mxm, myp, mym, v)
+
+    # deflation basis: constant + linear ramps (near-kernel of H)
+    hh, ww = shape
+    yy = jnp.linspace(-1.0, 1.0, hh, dtype=dtype)[:, None] * jnp.ones((1, ww), dtype)
+    xx = jnp.ones((hh, 1), dtype) * jnp.linspace(-1.0, 1.0, ww, dtype=dtype)[None, :]
+    Z = jnp.stack([jnp.ones(shape, dtype), xx, yy])  # (3,H,W)
+    HZ = jax.vmap(mv)(Z)
+    E = jnp.einsum("mhw,nhw->mn", Z, HZ)
+    Einv = jnp.linalg.inv(E + 1e-10 * jnp.trace(E) * jnp.eye(3, dtype=dtype))
 
     K = rows.shape[0]
     n_chunks = (K + chunk - 1) // chunk
@@ -479,10 +497,18 @@ def _diag_inverse_at_impl(inp: BiniInputs, p: BiniParams, z, rows, cols, chunk: 
         def mv_b(V):
             return jax.vmap(mv)(V)
 
+        def project(V):
+            """remove the Z-components of the preconditioned residual
+            (keeps search directions H-orthogonal to the deflation space)"""
+            g = jnp.einsum("mhw,khw->km", HZ, V)
+            return V - jnp.einsum("km,mhw->khw", g @ Einv, Z)
+
         Minv = 1.0 / jnp.clip(diag, 1e-5, None)
-        x = jnp.zeros_like(e)
+        # coarse (deflated) solve: x0 = Z E⁻¹ Zᵀ b
+        coef = jnp.einsum("mhw,khw->km", Z, e) @ Einv
+        x = jnp.einsum("km,mhw->khw", coef, Z)
         res = e - mv_b(x)
-        zv = Minv[None] * res
+        zv = project(Minv[None] * res)
         pv = zv
         rz = (res * zv).sum((1, 2))
 
@@ -493,7 +519,7 @@ def _diag_inverse_at_impl(inp: BiniInputs, p: BiniParams, z, rows, cols, chunk: 
             alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
             x = x + alpha[:, None, None] * pv
             res = res - alpha[:, None, None] * Ap
-            zv = Minv[None] * res
+            zv = project(Minv[None] * res)
             rz_new = (res * zv).sum((1, 2))
             beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
             return (x, res, zv + beta[:, None, None] * pv, rz_new), None

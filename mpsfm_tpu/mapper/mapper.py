@@ -113,6 +113,7 @@ class MpsfmMapper(BaseClass):
         exclude_init_pairs = exclude_init_pairs or set()
 
         # Phase A — initialization (reference :244-285)
+        TIMERS  # (phase timers: see PERF.md attribution)
         relax = 0
         success = False
         while True:
@@ -125,13 +126,16 @@ class MpsfmMapper(BaseClass):
                 continue
             relax += 1
             for init_pair in ranked:
-                success = self.registration.register_and_triangulate_init_pair(*init_pair)
+                with TIMERS.phase("init.register_pair"):
+                    success = self.registration.register_and_triangulate_init_pair(*init_pair)
                 if success:
-                    success = self.post_init_refinement()
+                    with TIMERS.phase("init.post_init_refinement"):
+                        success = self.post_init_refinement()
                 if success and self.conf.depth_consistency and self.conf.depth_consistency_init:
                     success = self.dc.check_init_pair(init_pair)
                 if success:
-                    success = self.iterative_global_refinement()
+                    with TIMERS.phase("init.global_refinement"):
+                        success = self.iterative_global_refinement()
                 if not success:
                     exclude_init_pairs.add(init_pair)
                     self.at_init_failure(init_pair)
@@ -183,7 +187,8 @@ class MpsfmMapper(BaseClass):
                 else:
                     success = False
             else:
-                success = self.nextview.next_image()
+                with TIMERS.phase("next_image_selection"):
+                    success = self.nextview.next_image()
             if not success:
                 if rec.num_reg_images() == rec.num_images():
                     self.log("All images registered")
@@ -315,7 +320,8 @@ class MpsfmMapper(BaseClass):
         return True
 
     def iterative_local_refinement(self, imid):
-        self.triangulator.complete_and_merge_all_tracks()
+        with TIMERS.phase("complete_and_merge"):
+            self.triangulator.complete_and_merge_all_tracks()
         self.first_refinement = True
         for _ in range(self.conf.ba_local_max_refinements):
             local_bundle = self.find_local_bundle(imid)
@@ -337,7 +343,8 @@ class MpsfmMapper(BaseClass):
         return True
 
     def iterative_global_refinement(self, param_multiplier=1.0, final=False):
-        self.triangulator.complete_and_merge_all_tracks()
+        with TIMERS.phase("complete_and_merge"):
+            self.triangulator.complete_and_merge_all_tracks()
         self.first_refinement = True
         self.triangulator.retriangulate()
         for _ in range(self.conf.ba_global_max_refinements):

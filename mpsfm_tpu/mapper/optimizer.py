@@ -39,7 +39,16 @@ class Optimizer(BaseClass):
 
     def _solve(self, bundle, mode, fix_pose, depth_loss_name, param_multiplier=1.0,
                allow_scale_filter=False, depth_type="update"):
-        prob = build_ba_data(
+        from mpsfm_tpu.utils.profiling import TIMERS
+
+        with TIMERS.phase("ba.build_data"):
+            prob = self._build(bundle, mode, fix_pose, param_multiplier,
+                               allow_scale_filter, depth_type)
+        return self._run_solve(prob, mode, depth_loss_name)
+
+    def _build(self, bundle, mode, fix_pose, param_multiplier,
+               allow_scale_filter, depth_type):
+        return build_ba_data(
             self.rec,
             bundle,
             mode=mode,
@@ -54,6 +63,8 @@ class Optimizer(BaseClass):
             use_depth=self.conf.use_depth,
             representation="solve",  # upload only the arrays the solver reads
         )
+
+    def _run_solve(self, prob, mode, depth_loss_name):
         if prob.dense is not None:
             from mpsfm_tpu.ba.dense import solve_ba_dense
 
@@ -97,6 +108,12 @@ class Optimizer(BaseClass):
         )
 
     def optimize_prior_shiftscale(self, bundle, allow_metric_scale_filter=False, **kw):
+        from mpsfm_tpu.utils.profiling import TIMERS
+
+        with TIMERS.phase("shift_scale"):
+            return self._optimize_prior_shiftscale(bundle, allow_metric_scale_filter, **kw)
+
+    def _optimize_prior_shiftscale(self, bundle, allow_metric_scale_filter=False, **kw):
         return _shift_scale(
             self.rec,
             bundle,

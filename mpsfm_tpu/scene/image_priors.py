@@ -42,7 +42,7 @@ class ImagePriors(BaseClass):
         "normals_magnitude_multiplier": 1.0,
         "downscale_factor": 2,
         "downscaled": True,
-        "cov_cg_iters": 100,  # diag(H^-1) indicator solves need less accuracy
+        "cov_cg_iters": 16,  # deflated PCG: ~1% diag err at 10 iters (bini.py)
         "scale_filter": True,
         "scale_filter_factor": 1.5,
         "robust_triangles": 2,

@@ -419,3 +419,34 @@ def test_lightglue_batched_pairs_match_single():
         np.testing.assert_allclose(
             out["matching_scores0"], single["matching_scores0"], atol=1e-5
         )
+
+
+def test_streaming_attention_matches_einsum():
+    """Online-softmax KV-block attention == plain masked softmax attention
+    (the tunnel-friendly flash path used on TPU at bf16)."""
+    from mpsfm_tpu.extraction.matchers.lightglue import LightGlue
+
+    rng = np.random.default_rng(0)
+    B, N, M, H, hd = 2, 64, 96, 4, 16
+    q = rng.normal(size=(B, N, H, hd)).astype(np.float32)
+    k = rng.normal(size=(B, M, H, hd)).astype(np.float32)
+    v = rng.normal(size=(B, M, H, hd)).astype(np.float32)
+    q_mask = np.ones((B, N), bool)
+    kv_mask = np.ones((B, M), bool)
+    kv_mask[0, 70:] = False  # padded keys on one batch element
+    scale = 1.0 / np.sqrt(hd)
+
+    logits = np.einsum("bnhd,bmhd->bhnm", q, k) * scale
+    logits = np.where(kv_mask[:, None, None, :], logits, -1e9)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhnm,bmhd->bnhd", p, v)
+
+    for block in (32, 96, 1024):
+        out = np.asarray(
+            LightGlue._attention_streaming(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                jnp.asarray(kv_mask), scale, block=block,
+            )
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -382,3 +382,72 @@ def test_named_neural_backend_executes_with_checkpoint(tmp_path):
     be2 = get_prior_backend("metric3dv2-giant2", {})
     with pytest.raises(RuntimeError, match="no weights"):
         be2(rgb)
+
+
+# ------------------------------------------------------- DepthAnythingV2
+def test_depth_anything_v2_hf_parity():
+    """Architecture-exact DA2 (DINOv2 + DPT) vs HuggingFace's torch
+    DepthAnythingForDepthEstimation with random weights — validates the
+    full forward AND the HF->official checkpoint-name mapping."""
+    transformers = pytest.importorskip("transformers")
+    from transformers import DepthAnythingConfig, DepthAnythingForDepthEstimation, Dinov2Config
+
+    from mpsfm_tpu.extraction.nets.depth_anything import DepthAnythingV2
+
+    D, depth, heads = 64, 4, 2
+    bb = Dinov2Config(
+        hidden_size=D, num_hidden_layers=depth, num_attention_heads=heads,
+        intermediate_size=4 * D, image_size=56, patch_size=14,
+        out_indices=[1, 2, 3, 4], reshape_hidden_states=False,
+        layerscale_value=1.0,
+    )
+    cfg = DepthAnythingConfig(
+        backbone_config=bb, reassemble_hidden_size=D,
+        reassemble_factors=[4, 2, 1, 0.5], neck_hidden_sizes=[8, 16, 32, 64],
+        fusion_hidden_size=16, head_hidden_size=32, patch_size=14,
+        depth_estimation_type="relative",
+    )
+    torch.manual_seed(0)
+    tmodel = DepthAnythingForDepthEstimation(cfg).eval()
+    with torch.no_grad():  # randomize everything (inits leave zeros/ones)
+        for p in tmodel.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+
+    x = torch.randn(2, 3, 56, 56)
+    with torch.no_grad():
+        ref = tmodel(pixel_values=x).predicted_depth.numpy()
+
+    da2 = DepthAnythingV2(
+        {"encoder": "vits", "dim": D, "depth": depth, "heads": heads,
+         "hooks": (0, 1, 2, 3), "features": 16, "out_channels": (8, 16, 32, 64)}
+    )
+    da2.params = da2.params_from_torch_state_dict(
+        {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    )
+    out = np.asarray(
+        da2._forward(da2.params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), (4, 4))
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_depth_anything_official_names_roundtrip():
+    """init_random produces the official checkpoint key set and the
+    forward runs at a non-native resolution (pos-embed interpolation)."""
+    from mpsfm_tpu.extraction.nets.depth_anything import DepthAnythingV2
+
+    da2 = DepthAnythingV2(
+        {"encoder": "vits", "dim": 32, "depth": 2, "heads": 2, "hooks": (0, 1),
+         "features": 8, "out_channels": (8, 8), "input_size": 56}
+    )
+    # 2-hook variant is not the real arch; use 4 hooks with tiny dims
+    da2 = DepthAnythingV2(
+        {"encoder": "vits", "dim": 32, "depth": 4, "heads": 2, "hooks": (0, 1, 2, 3),
+         "features": 8, "out_channels": (4, 8, 8, 16), "input_size": 56}
+    )
+    da2.init_random(0)
+    for k in ("pretrained.cls_token", "pretrained.blocks.0.ls1.gamma",
+              "depth_head.scratch.refinenet4.out_conv.weight"):
+        assert k in da2.params
+    img = (np.random.default_rng(0).uniform(0, 1, (37, 61, 3)) * 255).astype(np.uint8)
+    d = da2.infer_image(img)
+    assert d.shape == (37, 61) and np.isfinite(d).all() and (d >= 0).all()

@@ -256,7 +256,14 @@ class Extraction(BaseClass):
             import h5py
 
             with h5py.File(path, "r") as f:
-                existing = set(f.keys())
+                # pair keys are "name0/name1" -> NESTED h5 groups;
+                # root .keys() alone would miss them and re-match every run
+                existing = {
+                    f"{a}/{b}"
+                    for a in f.keys()
+                    if isinstance(f[a], h5py.Group)
+                    for b in f[a].keys()
+                }
         matcher = self._get_matcher()
         feats = {}
 
@@ -309,7 +316,14 @@ class Extraction(BaseClass):
         existing = set()
         if path.exists() and "m" not in self.extract:
             with h5py.File(path, "r") as f:
-                existing = set(f.keys())
+                # pair keys are "name0/name1" -> NESTED h5 groups;
+                # root .keys() alone would miss them and re-match every run
+                existing = {
+                    f"{a}/{b}"
+                    for a in f.keys()
+                    if isinstance(f[a], h5py.Group)
+                    for b in f[a].keys()
+                }
         matcher = get_dense_matcher(self.conf.dense_matcher, dict(self.conf.dense_matcher_conf))
         for name0, name1 in pairs:
             key = io.names_to_pair(name0, name1)
@@ -341,7 +355,14 @@ class Extraction(BaseClass):
         existing = set()
         if path.exists() and "m" not in self.extract:
             with h5py.File(path, "r") as f:
-                existing = set(f.keys())
+                # pair keys are "name0/name1" -> NESTED h5 groups;
+                # root .keys() alone would miss them and re-match every run
+                existing = {
+                    f"{a}/{b}"
+                    for a in f.keys()
+                    if isinstance(f[a], h5py.Group)
+                    for b in f[a].keys()
+                }
         for name0, name1 in pairs:
             if io.names_to_pair(name0, name1) in existing:
                 continue

@@ -221,17 +221,22 @@ class LightGlue:
     def _attention(q, k, v, q_mask, kv_mask, sm_scale):
         """softmax(q kᵀ · sm_scale) v with key-padding masks.
 
-        q/k/v (B,N,H,hd). On TPU in low precision this routes through the
-        streaming online-softmax path (the (B,H,N,N) logits never
-        materialize in HBM); `MPSFM_LG_ATTN=pallas` selects the Pallas
-        flash-attention kernel instead (faster on directly-attached TPU,
-        but its compile hangs on the axon tunnel), `=einsum` forces the
-        plain path; padding is expressed as segment ids / masks."""
+        q/k/v (B,N,H,hd). Paths, selectable via MPSFM_LG_ATTN:
+        `einsum` (default) — fused masked softmax; measured fastest on
+        the axon-tunneled v5e (542 ms/pair at N=2048 bf16).
+        `pallas` — the Pallas flash-attention kernel (logits never touch
+        HBM; the right path on directly-attached TPU, but its compile
+        hangs >25 min through the tunnel).
+        `stream` — pure-XLA online-softmax over KV blocks; measured
+        SLOWER than einsum here (610 ms/pair) because XLA round-trips
+        the f32 accumulator through HBM every block step, unlike the
+        VMEM-resident flash kernel. Kept as the memory-bounded fallback
+        for very long keypoint lists (peak memory O(N·block), not N²)."""
         import os
 
         B, N, H, hd = q.shape
         M = k.shape[1]
-        mode = os.environ.get("MPSFM_LG_ATTN", "auto")
+        mode = os.environ.get("MPSFM_LG_ATTN", "einsum")
         big = (
             q.dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"
@@ -240,8 +245,6 @@ class LightGlue:
             and N % 128 == 0
             and M % 128 == 0
         )
-        if mode == "auto" and big:
-            return LightGlue._attention_streaming(q, k, v, kv_mask, sm_scale)
         if mode == "stream":
             return LightGlue._attention_streaming(q, k, v, kv_mask, sm_scale)
         if mode == "pallas" and big:

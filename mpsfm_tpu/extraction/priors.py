@@ -151,6 +151,8 @@ class NeuralDepthBackend:
         if wp and Path(wp).exists():
             if base.startswith("depthanythingv2"):
                 self.backend = _DA2Backend(conf, base)
+            elif base == "depthpro":
+                self.backend = _DepthProBackend(conf)
             else:
                 from mpsfm_tpu.extraction.nets.mono import ViTMonoBackend
 
@@ -191,6 +193,34 @@ class _DA2Backend:
     def __call__(self, image_rgb, intrinsics=None, **kw):
         d = np.asarray(self.net.infer_image(image_rgb), np.float64)
         valid = d > 0
+        out = {"depth": d, "depth_variance": (d * self.rel_unc) ** 2, "valid": valid}
+        if intrinsics is not None:
+            fx, fy, cx, cy = intrinsics
+            fill = np.median(d[valid]) if valid.any() else 1.0
+            out["normals"] = normals_from_depth(np.where(valid, d, fill), fx, fy, cx, cy)
+            out["normals_variance"] = np.full(d.shape, (np.deg2rad(8.0)) ** 2)
+        return out
+
+
+class _DepthProBackend:
+    """Architecture-exact DepthPro -> metric depth priors. Uses the image
+    intrinsics' focal when available (else the model's FOV head) for the
+    canonical inverse-depth -> metric conversion. Replaces the reference
+    wrapper mpsfm/extraction/imagewise/geometry/models/depth/depthpro.py."""
+
+    def __init__(self, conf):
+        from mpsfm_tpu.extraction.nets.depth_pro import DepthPro
+
+        self.net = DepthPro(conf)
+        if self.net.params is None:
+            self.net.init_random(0)
+        self.rel_unc = conf.get("depth_uncertainty", 0.0875)
+
+    def __call__(self, image_rgb, intrinsics=None, **kw):
+        f_px = intrinsics[0] if intrinsics is not None else None
+        res = self.net.infer_image(image_rgb, f_px=f_px)
+        d = np.asarray(res["depth"], np.float64)
+        valid = np.isfinite(d) & (d > 0)
         out = {"depth": d, "depth_variance": (d * self.rel_unc) ** 2, "valid": valid}
         if intrinsics is not None:
             fx, fy, cx, cy = intrinsics

@@ -258,12 +258,14 @@ class MpsfmMapper(BaseClass):
                     continue
 
         # final robustified global pass (reference :401-417)
-        self.iterative_global_refinement(
-            param_multiplier=self.conf.final_robustification
-            if self.conf.final_robustification is not None
-            else 1.0,
-            final=True,
-        )
+        with TIMERS.phase("final_global_pass"):
+            ok_final = self.iterative_global_refinement(
+                param_multiplier=self.conf.final_robustification
+                if self.conf.final_robustification is not None
+                else 1.0,
+                final=True,
+            )
+        del ok_final  # reference ignores the final pass's verdict
         return rec, True
 
     # ---------- refinement (reference :420-667) ----------

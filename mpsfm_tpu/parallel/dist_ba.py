@@ -382,7 +382,11 @@ def solve_ba_block_sharded(
         inv3x3,
     )
 
-    axis = mesh.axis_names[0]
+    # shard along the LAST mesh axis; any leading axes (e.g. a multi-host
+    # "replica" axis from make_2d_mesh) stay replicated — psums ride the
+    # block axis only, so replicas compute identical results with zero
+    # cross-replica traffic.
+    axis = mesh.axis_names[-1]
     dtype = jnp.float32
 
     def body(repl, shard):

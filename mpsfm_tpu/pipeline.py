@@ -46,39 +46,54 @@ class ReconstructionManager(BaseClass):
         )
 
     def __call__(self, extract_only=False):
+        from mpsfm_tpu.utils.profiling import TIMERS
+
         # 1) extraction
         self.extractor.conf["matches_mode"] = self.conf.matches_mode
-        pairs = self.extractor.extract_pairs()
-        self.extractor.extract_features()
+        with TIMERS.phase("pipe.extract_pairs"):
+            pairs = self.extractor.extract_pairs()
+        with TIMERS.phase("pipe.extract_features"):
+            self.extractor.extract_features()
         if "sparse" in self.conf.matches_mode:
             if self.conf.extractors.matcher == "dense_anchor":
                 # RoMa-sparse mode: dense flow anchored at detected keypoints
                 self.extractor.extract_matches_dense_anchored(pairs)
             else:
-                self.extractor.extract_matches(pairs)
+                with TIMERS.phase("pipe.extract_matches"):
+                    self.extractor.extract_matches(pairs)
         if "dense" in self.conf.matches_mode:
             self.extractor.extract_dense_matches(pairs)
         if "depth" in self.conf.matches_mode:
             self.extractor.extract_pair_depths(pairs)
         if self.conf.use_priors:
-            if "measured" in self.conf.matches_mode:
-                self.extractor.use_measured()
-            else:
-                self.extractor.extract_mono()
+            with TIMERS.phase("pipe.extract_mono"):
+                if "measured" in self.conf.matches_mode:
+                    self.extractor.use_measured()
+                else:
+                    self.extractor.extract_mono()
         self.extractor.extract_masks()
         if extract_only:
             return None, True
 
         # 2) scene + correspondences
-        rec = self.scene_parser.build_reconstruction()
-        keypoints, matches, scores = self.extractor.load_correspondence_inputs(pairs)
-        corr = Correspondences(self.conf.correspondences, rec)
-        corr.populate(keypoints, matches, scores)
+        with TIMERS.phase("pipe.correspondences"):
+            rec = self.scene_parser.build_reconstruction()
+            keypoints, matches, scores = self.extractor.load_correspondence_inputs(pairs)
+            corr = Correspondences(self.conf.correspondences, rec)
+            corr.populate(
+                keypoints, matches, scores,
+                cache_path=self.cache_dir / "two_view_geometry.h5",
+            )
 
         # 3) priors
         if self.conf.use_priors:
+            from mpsfm_tpu.utils.profiling import TIMERS as _T
+
+            _prior_cm = _T.phase("pipe.priors")
+            _prior_cm.__enter__()
             for imid, im in rec.images.items():
-                mono = self.extractor.load_mono(im.name)
+                with TIMERS.phase("pipe.priors.load_mono"):
+                    mono = self.extractor.load_mono(im.name)
                 if mono is None:
                     continue
                 depth_dict = {
@@ -111,13 +126,17 @@ class ReconstructionManager(BaseClass):
                 im.kp_std = float(unc) if unc else 1.0
                 # sky mask (reference Image.init_depth, scene/image/base.py:89-116)
                 mask = self.extractor.load_mask(im.name)
-                pri = ImagePriors(
-                    self.conf.image_priors, rec, imid,
-                    depth_dict=depth_dict, normals_dict=normals_dict, mask=mask,
-                )
+                with TIMERS.phase("pipe.priors.build"):
+                    pri = ImagePriors(
+                        self.conf.image_priors, rec, imid,
+                        depth_dict=depth_dict, normals_dict=normals_dict, mask=mask,
+                    )
                 im.priors = pri
                 im.depth = pri.depth
                 im.normals = pri.normals
+
+        if self.conf.use_priors:
+            _prior_cm.__exit__(None, None, None)
 
         # 4) mapping
         mapper = MpsfmMapper(self.conf.mapper, rec, corr)
@@ -130,8 +149,9 @@ class ReconstructionManager(BaseClass):
 
         # 5) outputs
         out = self.sfm_outputs_dir
-        colmap_io.write_text(rec, out)
-        colmap_io.write_depths(rec, out / "depths.h5")
+        with TIMERS.phase("pipe.outputs"):
+            colmap_io.write_text(rec, out)
+            colmap_io.write_depths(rec, out / "depths.h5")
         if self.conf.verbose >= 1:
             from mpsfm_tpu.utils.viz import write_scene_html
 

@@ -32,9 +32,14 @@ class Correspondences(BaseClass):
         self._tvg: dict[tuple[int, int], object] = {}
         self.inlier_match_scores: dict[frozenset, float] = {}
 
-    def populate(self, keypoints: dict, matches: dict, scores: dict | None = None):
+    def populate(self, keypoints: dict, matches: dict, scores: dict | None = None,
+                 cache_path=None):
         """keypoints: name -> (N,2) px; matches: (name0,name1) -> (M,2);
-        scores: frozenset(names) -> (M,) match confidences (optional)."""
+        scores: frozenset(names) -> (M,) match confidences (optional).
+        cache_path: optional HDF5 file caching verified two-view
+        geometries keyed by pair + match count (parity with COLMAP's
+        two_view_geometries database table — verification results are a
+        pure function of the cached matches)."""
         rec = self.rec
         for name, kps in keypoints.items():
             imid = rec.imid(name)
@@ -46,10 +51,17 @@ class Correspondences(BaseClass):
 
         pair_list = []
         pair_names = []
+        cached_tvgs = {}
+        cache = _TvgCache(cache_path) if cache_path else None
         for (name0, name1), m in matches.items():
             if m is None or len(m) < self.conf.min_num_matches:
                 continue
             id0, id1 = rec.imid(name0), rec.imid(name1)
+            if cache is not None:
+                hit = cache.get(name0, name1, len(m))
+                if hit is not None:
+                    cached_tvgs[(name0, name1)] = hit
+                    continue
             pair_list.append(
                 (
                     rec.camera(id0).device(),
@@ -60,10 +72,18 @@ class Correspondences(BaseClass):
                 )
             )
             pair_names.append((name0, name1))
-        self.log(f"Verifying {len(pair_list)} pairs...", level=1)
+        self.log(
+            f"Verifying {len(pair_list)} pairs ({len(cached_tvgs)} cached)...", level=1
+        )
         tvgs = estimate_two_view_geometry_batch(
             pair_list, max_error_px=self.conf.max_error, num_hyp=self.conf.num_hyp
         )
+        if cache is not None:
+            for (name0, name1), tvg in zip(pair_names, tvgs):
+                cache.put(name0, name1, len(matches[(name0, name1)]), tvg)
+            cache.close()
+        pair_names = pair_names + list(cached_tvgs.keys())
+        tvgs = tvgs + list(cached_tvgs.values())
         for (name0, name1), tvg in zip(pair_names, tvgs):
             id0, id1 = rec.imid(name0), rec.imid(name1)
             self._tvg[(id0, id1)] = tvg
@@ -102,3 +122,59 @@ class Correspondences(BaseClass):
 
     def image_pairs(self):
         return sorted(self._tvg.keys())
+
+
+class _TvgCache:
+    """HDF5 cache of TwoViewGeometry results keyed by pair name + match
+    count (the verification inputs). Mirrors COLMAP's two_view_geometries
+    table: recomputation is skipped when the underlying matches are
+    unchanged."""
+
+    def __init__(self, path):
+        import h5py
+
+        self.path = path
+        self._f = h5py.File(path, "a")
+
+    @staticmethod
+    def _key(name0, name1):
+        return f"{name0}/{name1}".replace(".", "_")
+
+    def get(self, name0, name1, n_matches):
+        from mpsfm_tpu.estimators.two_view import TwoViewGeometry
+        from mpsfm_tpu.geometry.rotations import Rigid3d
+
+        k = self._key(name0, name1)
+        if k not in self._f:
+            return None
+        g = self._f[k]
+        if int(g.attrs["n_matches"]) != n_matches:
+            return None
+        E = np.asarray(g["E"]) if "E" in g else None
+        pose = Rigid3d(np.asarray(g["quat"]), np.asarray(g["t"]))
+        return TwoViewGeometry(
+            int(g.attrs["config"]),
+            np.asarray(g["inlier_matches"]),
+            pose,
+            float(g.attrs["tri_angle"]),
+            E,
+            int(g.attrs["num_inliers"]),
+        )
+
+    def put(self, name0, name1, n_matches, tvg):
+        k = self._key(name0, name1)
+        if k in self._f:
+            del self._f[k]
+        g = self._f.create_group(k)
+        g.attrs["n_matches"] = n_matches
+        g.attrs["config"] = int(tvg.config)
+        g.attrs["tri_angle"] = tvg.tri_angle
+        g.attrs["num_inliers"] = tvg.num_inliers
+        g.create_dataset("inlier_matches", data=np.asarray(tvg.inlier_matches, np.int64))
+        g.create_dataset("quat", data=np.asarray(tvg.pose.quat, np.float64))
+        g.create_dataset("t", data=np.asarray(tvg.pose.t, np.float64))
+        if tvg.E is not None:
+            g.create_dataset("E", data=np.asarray(tvg.E, np.float64))
+
+    def close(self):
+        self._f.close()

@@ -451,3 +451,60 @@ def test_depth_anything_official_names_roundtrip():
     img = (np.random.default_rng(0).uniform(0, 1, (37, 61, 3)) * 255).astype(np.uint8)
     d = da2.infer_image(img)
     assert d.shape == (37, 61) and np.isfinite(d).all() and (d >= 0).all()
+
+
+# ------------------------------------------------------------- DepthPro
+def test_depth_pro_hf_parity():
+    """Architecture-exact DepthPro (3-scale patch pyramid DINOv2 + DPT
+    fusion + FOV head) vs HuggingFace's torch DepthProForDepthEstimation
+    with random weights."""
+    pytest.importorskip("transformers")
+    from mpsfm_tpu.extraction.nets.depth_pro import DepthPro
+
+    dp = DepthPro(
+        {"dim": 32, "depth": 3, "heads": 2, "vit_image_size": 56, "vit_patch": 14,
+         "patch_size": 56, "image_size": 224,
+         "scaled_images_feature_dims": (16, 16, 8),
+         "intermediate_hook_ids": (2, 1), "intermediate_feature_dims": (8, 8),
+         "fusion_hidden_size": 8, "use_fov_model": True}
+    )
+    tmodel = dp.init_random(0).eval()
+
+    x = torch.randn(2, 3, 224, 224)
+    with torch.no_grad():
+        tout = tmodel(pixel_values=x)
+    ref_depth = tout.predicted_depth.numpy()
+    ref_fov = tout.field_of_view.numpy()
+
+    inv, fov = dp._forward(dp.params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(inv), ref_depth, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fov), ref_fov, atol=2e-4)
+
+
+def test_neural_backend_produces_prior_maps():
+    """_DA2Backend / _DepthProBackend produce the prior-map schema the
+    extraction facade writes (depth, variance, normals, valid)."""
+    from mpsfm_tpu.extraction.priors import _DA2Backend, _DepthProBackend
+
+    img = (np.random.default_rng(0).uniform(0, 255, (56, 70, 3))).astype(np.uint8)
+    intr = (60.0, 60.0, 35.0, 28.0)
+
+    da2 = _DA2Backend(
+        {"encoder": "vits", "dim": 32, "depth": 4, "heads": 2, "hooks": (0, 1, 2, 3),
+         "features": 8, "out_channels": (4, 8, 8, 16), "input_size": 56},
+        "depthanythingv2-outdoor",
+    )
+    out = da2(img, intrinsics=intr)
+    assert out["depth"].shape == (56, 70) and out["normals"].shape == (56, 70, 3)
+    assert (out["depth_variance"] >= 0).all()
+
+    dp = _DepthProBackend(
+        {"dim": 32, "depth": 3, "heads": 2, "vit_image_size": 56, "vit_patch": 14,
+         "patch_size": 56, "image_size": 224,
+         "scaled_images_feature_dims": (16, 16, 8),
+         "intermediate_hook_ids": (2, 1), "intermediate_feature_dims": (8, 8),
+         "fusion_hidden_size": 8, "use_fov_model": True}
+    )
+    out = dp(img, intrinsics=intr)
+    assert out["depth"].shape == (56, 70) and np.isfinite(out["depth"]).all()
+    assert out["normals"].shape == (56, 70, 3)

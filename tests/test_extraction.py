@@ -149,3 +149,40 @@ def test_pair_mono_map_best_selection(tmp_path):
     )
     assert out["depth"][0, 0] == 1.0  # picked the low-variance pair
     assert io.get_mono_map_from_pairs(tmp_path / "pd.h5", "zzz.jpg", [("a.jpg", "b.jpg")]) is None
+
+
+def test_match_cache_skips_existing_pairs(tmp_path):
+    """Cached pair keys are "name0/name1" NESTED h5 groups — the skip
+    check must enumerate two levels or every run re-matches (regression:
+    root .keys() only sees "name0")."""
+    import h5py
+
+    path = tmp_path / "matches-nn.h5"
+    io.write_matches(path, "a.jpg", "b.jpg", np.array([0, -1]), [0.9, 0.0])
+    with h5py.File(path, "r") as f:
+        existing = {
+            f"{a}/{b}" for a in f.keys() if isinstance(f[a], h5py.Group) for b in f[a].keys()
+        }
+    assert io.names_to_pair("a.jpg", "b.jpg") in existing
+
+
+def test_tvg_cache_roundtrip(tmp_path):
+    """Two-view geometry cache (COLMAP two_view_geometries analog):
+    put/get roundtrip + invalidation on match-count change."""
+    from mpsfm_tpu.estimators.two_view import TwoViewGeometry
+    from mpsfm_tpu.geometry.rotations import Rigid3d
+    from mpsfm_tpu.scene.correspondences import _TvgCache
+
+    tvg = TwoViewGeometry(
+        2, np.array([[0, 1], [2, 3]]), Rigid3d(np.array([1.0, 0, 0, 0]), np.zeros(3)),
+        5.0, np.eye(3), 2,
+    )
+    c = _TvgCache(tmp_path / "tvg.h5")
+    c.put("a.jpg", "b.jpg", 10, tvg)
+    back = c.get("a.jpg", "b.jpg", 10)
+    assert back is not None and back.num_inliers == 2
+    assert back.inlier_matches.tolist() == [[0, 1], [2, 3]]
+    assert int(back.config) == 2 and back.tri_angle == 5.0
+    assert c.get("a.jpg", "b.jpg", 11) is None  # match count changed
+    assert c.get("a.jpg", "c.jpg", 10) is None
+    c.close()

@@ -135,3 +135,36 @@ def test_block_sharded_ba_sparse_tracks():
         np.testing.assert_allclose(
             float(info1["cost"]), float(info2["cost"]), rtol=5e-2
         )
+
+
+def test_block_sharded_ba_2d_mesh():
+    """Multi-host layout: 2-D (replica x blocks) mesh — BA shards its
+    point blocks along the ICI 'blocks' axis and stays replicated across
+    the 'replica' (DCN/host) axis, matching the 1-D mesh result exactly
+    (SURVEY §2.2 multi-host row; psums ride the block axis only)."""
+    from __graft_entry__ import _synthetic_ba_data
+    from mpsfm_tpu.ba.solver import solve_ba
+    from mpsfm_tpu.parallel.dist_ba import (
+        partition_ba_data,
+        solve_ba_block_sharded,
+        unpartition_points,
+    )
+    from mpsfm_tpu.parallel.multihost import make_2d_mesh
+
+    data = _synthetic_ba_data(n_cams=8, n_pts=128)
+    q1, t1, x1, info1 = solve_ba(data, max_iters=6)
+    parts, pids = partition_ba_data(data, 4)
+    mesh = make_2d_mesh(obs_axis_size=4, axes=("replica", "blocks"))
+    assert mesh.devices.shape == (2, 4)
+    q2, t2, x2, info2 = solve_ba_block_sharded(parts, mesh, max_iters=6)
+
+    np.testing.assert_allclose(float(info1["cost0"]), float(info2["cost0"]), rtol=1e-5)
+    np.testing.assert_allclose(float(info1["cost"]), float(info2["cost"]), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-5)
+    x2g = unpartition_points(x2, pids, data.xyz.shape[0])
+    np.testing.assert_allclose(np.asarray(x1), x2g, atol=1e-3)
+    # 8 addressable shards (2 replicas x 4 blocks); block axis partitioned
+    assert len(x2.addressable_shards) == 8
+    Pl = parts["shard"]["xyz"].shape[1]
+    for sh in x2.addressable_shards:
+        assert sh.data.shape == (1, Pl, 3)

@@ -508,3 +508,24 @@ def test_neural_backend_produces_prior_maps():
     out = dp(img, intrinsics=intr)
     assert out["depth"].shape == (56, 70) and np.isfinite(out["depth"]).all()
     assert out["normals"].shape == (56, 70, 3)
+
+
+def test_da2_backend_loads_official_checkpoint(tmp_path):
+    """depthanythingv2-* routes to the EXACT DepthAnythingV2 arch and
+    loads an official-named torch checkpoint end-to-end."""
+    from mpsfm_tpu.extraction.nets.depth_anything import DepthAnythingV2
+    from mpsfm_tpu.extraction.priors import NeuralDepthBackend, _DA2Backend
+
+    tiny = {"encoder": "vits", "dim": 32, "depth": 4, "heads": 2, "hooks": (0, 1, 2, 3),
+            "features": 8, "out_channels": (4, 8, 8, 16), "input_size": 56}
+    src = DepthAnythingV2(tiny)
+    src.init_random(3)
+    ckpt = tmp_path / "depth_anything_v2_metric_vits.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in src.params.items()}, ckpt)
+
+    be = NeuralDepthBackend("depthanythingv2-outdoor", {**tiny, "weights_path": str(ckpt)})
+    assert isinstance(be.backend, _DA2Backend)
+    rgb = (np.random.default_rng(1).random((40, 56, 3)) * 255).astype(np.uint8)
+    out = be(rgb, intrinsics=(300.0, 300.0, 28.0, 20.0))
+    assert out["depth"].shape == (40, 56) and np.isfinite(out["depth"]).all()
+    assert be.conf["depth_uncertainty"] == pytest.approx(0.079)

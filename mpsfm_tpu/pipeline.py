@@ -87,9 +87,7 @@ class ReconstructionManager(BaseClass):
 
         # 3) priors
         if self.conf.use_priors:
-            from mpsfm_tpu.utils.profiling import TIMERS as _T
-
-            _prior_cm = _T.phase("pipe.priors")
+            _prior_cm = TIMERS.phase("pipe.priors")
             _prior_cm.__enter__()
             for imid, im in rec.images.items():
                 with TIMERS.phase("pipe.priors.load_mono"):

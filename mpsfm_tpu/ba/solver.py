@@ -643,10 +643,13 @@ def solve_ba(
     depth_loss: int = losses.CAUCHY,
     max_iters: int = 20,
     cg_iters: int = 100,
-    # inexact-Newton forcing: the LM accept test gates step quality, so the
-    # inner Schur solve only needs ~2 digits of relative residual — on the
-    # slot-table path every extra CG iteration is 2 dynamic gathers over all
-    # observation rows (the dominant cost at 500+ cameras)
+    # inexact-Newton forcing ceiling: the LM accept test gates step quality,
+    # so early Schur solves only need ~2 digits of relative residual — on
+    # the slot-table path every extra CG iteration is 2 dynamic gathers over
+    # all observation rows (the dominant cost at 500+ cameras). The
+    # EFFECTIVE tolerance tightens as the gradient shrinks
+    # (Eisenstat–Walker-style min(cg_tol, sqrt(‖rhs‖/‖rhs0‖)), floored at
+    # 1e-6) so late iterations on small problems recover full accuracy.
     cg_tol: float = 1e-2,
     lm_lambda0: float = 1e-4,
     rel_tol: float = 1e-6,
@@ -664,7 +667,7 @@ def solve_ba(
         return _assemble_ne(data, quat, t, xyz, reproj_loss, depth_loss)
 
     def step(carry, _):
-        quat, t, xyz, lam, cost, done, accepted, ne = carry
+        quat, t, xyz, lam, cost, done, accepted, ne, rhs0_norm = carry
         # ne holds the normal-equation products at the CURRENT state; they
         # are lambda-independent, so rejected steps reuse them and only the
         # (cheap) augmented solve + residual-only trial cost re-runs.
@@ -693,10 +696,15 @@ def solve_ba(
         # Dense reduced system when the pc-slot coupling table exists and
         # the 6Cx6C system is small; matrix-free PCG otherwise. Shapes are
         # static, so this branch is resolved at trace time.
+        rhs_norm = jnp.sqrt((rhs * rhs).sum())
+        rhs0_norm = jnp.where(rhs0_norm < 0, rhs_norm, rhs0_norm)
         if T is not None and C <= dense_schur_max_cams:
             delta_c, cg_used = _dense_schur_solve(T, Hcc_aug, Hpp_inv, rhs)
         else:
-            delta_c, cg_used = _schur_pcg(data, Hcc_aug, Hpp_inv, Wr_rows, Wd_rows, rhs, cg_iters, cg_tol)
+            tol_eff = jnp.clip(
+                jnp.sqrt(rhs_norm / jnp.maximum(rhs0_norm, 1e-30)), 1e-6, cg_tol
+            )
+            delta_c, cg_used = _schur_pcg(data, Hcc_aug, Hpp_inv, Wr_rows, Wd_rows, rhs, cg_iters, tol_eff)
         delta_c = delta_c * data.cam_dof
 
         # Back-substitution: Δp = −Hpp⁻¹ (g_p + Wᵀ Δc)
@@ -721,7 +729,7 @@ def solve_ba(
         cost = jnp.where(take, new_cost, cost)
         accepted = accepted + take.astype(jnp.int32)
         ne = jax.lax.cond(take, lambda: ne_of(quat, t, xyz), lambda: ne)
-        return (quat, t, xyz, lam, cost, done, accepted, ne), (cost, cg_used)
+        return (quat, t, xyz, lam, cost, done, accepted, ne, rhs0_norm), (cost, cg_used)
 
     cost0 = cost_of(data.quat, data.t, data.xyz)
     init = (
@@ -733,8 +741,9 @@ def solve_ba(
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
         ne_of(data.quat, data.t, data.xyz),
+        jnp.asarray(-1.0, dtype),
     )
-    (quat, t, xyz, lam, cost, done, accepted, _ne), (cost_hist, cg_hist) = jax.lax.scan(
+    (quat, t, xyz, lam, cost, done, accepted, _ne, _r0), (cost_hist, cg_hist) = jax.lax.scan(
         step, init, None, length=max_iters
     )
     info = {

@@ -217,7 +217,8 @@ class _DepthProBackend:
         self.rel_unc = conf.get("depth_uncertainty", 0.0875)
 
     def __call__(self, image_rgb, intrinsics=None, **kw):
-        f_px = intrinsics[0] if intrinsics is not None else None
+        # reference DepthPro wrapper uses mean(fx, fy) as the focal
+        f_px = 0.5 * (intrinsics[0] + intrinsics[1]) if intrinsics is not None else None
         res = self.net.infer_image(image_rgb, f_px=f_px)
         d = np.asarray(res["depth"], np.float64)
         valid = np.isfinite(d) & (d > 0)

@@ -20,6 +20,7 @@ from mpsfm_tpu.mapper import MpsfmMapper
 from mpsfm_tpu.scene.correspondences import Correspondences
 from mpsfm_tpu.scene.image_priors import ImagePriors
 from mpsfm_tpu.utils import colmap_io
+from mpsfm_tpu.utils.profiling import TIMERS
 
 
 class ReconstructionManager(BaseClass):
@@ -46,8 +47,6 @@ class ReconstructionManager(BaseClass):
         )
 
     def __call__(self, extract_only=False):
-        from mpsfm_tpu.utils.profiling import TIMERS
-
         # 1) extraction
         self.extractor.conf["matches_mode"] = self.conf.matches_mode
         with TIMERS.phase("pipe.extract_pairs"):
@@ -87,54 +86,8 @@ class ReconstructionManager(BaseClass):
 
         # 3) priors
         if self.conf.use_priors:
-            _prior_cm = TIMERS.phase("pipe.priors")
-            _prior_cm.__enter__()
-            for imid, im in rec.images.items():
-                with TIMERS.phase("pipe.priors.load_mono"):
-                    mono = self.extractor.load_mono(im.name)
-                if mono is None:
-                    continue
-                depth_dict = {
-                    k: mono[k]
-                    for k in ("depth", "depth_variance", "depth2", "depth_variance2", "valid", "valid2")
-                    if k in mono
-                }
-                if "depth" in self.conf.matches_mode:
-                    # 'depth' matching mode: per-pair two-view depth beats
-                    # the mono prior (best-confidence pair, reference
-                    # utils/io.py:17-42); normals stay from the mono pass.
-                    pair_mono = self.extractor.load_mono_from_pairs(im.name, pairs)
-                    if pair_mono is not None:
-                        depth_dict = {
-                            "depth": pair_mono["depth"],
-                            "depth_variance": pair_mono["depth_variance"],
-                            "valid": pair_mono["valid"],
-                        }
-                normals_dict = {
-                    k.replace("normals", "normals"): mono[k]
-                    for k in ("normals", "normals_variance", "normals2", "normals2_variance")
-                    if k in mono
-                }
-                if "normals" not in normals_dict:
-                    continue
-                # per-kp uncertainty of detected features
-                from mpsfm_tpu.utils.io import get_keypoints
-
-                _, unc = get_keypoints(self.extractor.paths["sfeats"], im.name, return_uncertainty=True)
-                im.kp_std = float(unc) if unc else 1.0
-                # sky mask (reference Image.init_depth, scene/image/base.py:89-116)
-                mask = self.extractor.load_mask(im.name)
-                with TIMERS.phase("pipe.priors.build"):
-                    pri = ImagePriors(
-                        self.conf.image_priors, rec, imid,
-                        depth_dict=depth_dict, normals_dict=normals_dict, mask=mask,
-                    )
-                im.priors = pri
-                im.depth = pri.depth
-                im.normals = pri.normals
-
-        if self.conf.use_priors:
-            _prior_cm.__exit__(None, None, None)
+            with TIMERS.phase("pipe.priors"):
+                self._load_priors(rec, pairs)
 
         # 4) mapping
         mapper = MpsfmMapper(self.conf.mapper, rec, corr)
@@ -155,6 +108,51 @@ class ReconstructionManager(BaseClass):
 
             write_scene_html(rec, out / "3d.html")
         return rec, ok
+
+    def _load_priors(self, rec, pairs):
+        for imid, im in rec.images.items():
+            with TIMERS.phase("pipe.priors.load_mono"):
+                mono = self.extractor.load_mono(im.name)
+            if mono is None:
+                continue
+            depth_dict = {
+                k: mono[k]
+                for k in ("depth", "depth_variance", "depth2", "depth_variance2", "valid", "valid2")
+                if k in mono
+            }
+            if "depth" in self.conf.matches_mode:
+                # 'depth' matching mode: per-pair two-view depth beats
+                # the mono prior (best-confidence pair, reference
+                # utils/io.py:17-42); normals stay from the mono pass.
+                pair_mono = self.extractor.load_mono_from_pairs(im.name, pairs)
+                if pair_mono is not None:
+                    depth_dict = {
+                        "depth": pair_mono["depth"],
+                        "depth_variance": pair_mono["depth_variance"],
+                        "valid": pair_mono["valid"],
+                    }
+            normals_dict = {
+                k.replace("normals", "normals"): mono[k]
+                for k in ("normals", "normals_variance", "normals2", "normals2_variance")
+                if k in mono
+            }
+            if "normals" not in normals_dict:
+                continue
+            # per-kp uncertainty of detected features
+            from mpsfm_tpu.utils.io import get_keypoints
+
+            _, unc = get_keypoints(self.extractor.paths["sfeats"], im.name, return_uncertainty=True)
+            im.kp_std = float(unc) if unc else 1.0
+            # sky mask (reference Image.init_depth, scene/image/base.py:89-116)
+            mask = self.extractor.load_mask(im.name)
+            with TIMERS.phase("pipe.priors.build"):
+                pri = ImagePriors(
+                    self.conf.image_priors, rec, imid,
+                    depth_dict=depth_dict, normals_dict=normals_dict, mask=mask,
+                )
+            im.priors = pri
+            im.depth = pri.depth
+            im.normals = pri.normals
 
 
 def reconstruct(

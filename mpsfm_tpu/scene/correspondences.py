@@ -37,9 +37,9 @@ class Correspondences(BaseClass):
         """keypoints: name -> (N,2) px; matches: (name0,name1) -> (M,2);
         scores: frozenset(names) -> (M,) match confidences (optional).
         cache_path: optional HDF5 file caching verified two-view
-        geometries keyed by pair + match count (parity with COLMAP's
-        two_view_geometries database table — verification results are a
-        pure function of the cached matches)."""
+        geometries keyed by pair + a digest of matches/keypoints/RANSAC
+        params (parity with COLMAP's two_view_geometries database table —
+        verification results are a pure function of those inputs)."""
         rec = self.rec
         for name, kps in keypoints.items():
             imid = rec.imid(name)
@@ -51,6 +51,7 @@ class Correspondences(BaseClass):
 
         pair_list = []
         pair_names = []
+        pair_digests = {}
         cached_tvgs = {}
         cache = _TvgCache(cache_path) if cache_path else None
         for (name0, name1), m in matches.items():
@@ -58,7 +59,12 @@ class Correspondences(BaseClass):
                 continue
             id0, id1 = rec.imid(name0), rec.imid(name1)
             if cache is not None:
-                hit = cache.get(name0, name1, len(m))
+                digest = _TvgCache._digest(
+                    m, keypoints[name0], keypoints[name1],
+                    self.conf.max_error, self.conf.num_hyp,
+                )
+                pair_digests[(name0, name1)] = digest
+                hit = cache.get(name0, name1, digest)
                 if hit is not None:
                     cached_tvgs[(name0, name1)] = hit
                     continue
@@ -80,7 +86,7 @@ class Correspondences(BaseClass):
         )
         if cache is not None:
             for (name0, name1), tvg in zip(pair_names, tvgs):
-                cache.put(name0, name1, len(matches[(name0, name1)]), tvg)
+                cache.put(name0, name1, pair_digests[(name0, name1)], tvg)
             cache.close()
         pair_names = pair_names + list(cached_tvgs.keys())
         tvgs = tvgs + list(cached_tvgs.values())
@@ -125,10 +131,12 @@ class Correspondences(BaseClass):
 
 
 class _TvgCache:
-    """HDF5 cache of TwoViewGeometry results keyed by pair name + match
-    count (the verification inputs). Mirrors COLMAP's two_view_geometries
-    table: recomputation is skipped when the underlying matches are
-    unchanged."""
+    """HDF5 cache of TwoViewGeometry results keyed by pair name, a digest
+    of the verification inputs (match array + matched keypoint coords) and
+    the verification parameters. Mirrors COLMAP's two_view_geometries
+    table: recomputation is skipped only when matches, keypoints and
+    RANSAC settings are all unchanged (COLMAP invalidates the table when
+    the matches table changes)."""
 
     def __init__(self, path):
         import h5py
@@ -138,9 +146,25 @@ class _TvgCache:
 
     @staticmethod
     def _key(name0, name1):
-        return f"{name0}/{name1}".replace(".", "_")
+        from mpsfm_tpu.utils.io import names_to_pair
 
-    def get(self, name0, name1, n_matches):
+        # '/' and '.' both create/ambiguate h5 group nesting; reuse the
+        # same canonicalization every other cache in the repo uses.
+        return names_to_pair(name0, name1, separator="-").replace(".", "_")
+
+    @staticmethod
+    def _digest(matches, kps0, kps1, max_error, num_hyp):
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(np.ascontiguousarray(np.asarray(matches, np.int64)).tobytes())
+        h.update(np.ascontiguousarray(np.asarray(kps0, np.float64)).tobytes())
+        h.update(np.ascontiguousarray(np.asarray(kps1, np.float64)).tobytes())
+        h.update(np.float64(max_error).tobytes())
+        h.update(np.int64(num_hyp).tobytes())
+        return h.hexdigest()
+
+    def get(self, name0, name1, digest):
         from mpsfm_tpu.estimators.two_view import TwoViewGeometry
         from mpsfm_tpu.geometry.rotations import Rigid3d
 
@@ -148,7 +172,7 @@ class _TvgCache:
         if k not in self._f:
             return None
         g = self._f[k]
-        if int(g.attrs["n_matches"]) != n_matches:
+        if g.attrs.get("digest") != digest:
             return None
         E = np.asarray(g["E"]) if "E" in g else None
         pose = Rigid3d(np.asarray(g["quat"]), np.asarray(g["t"]))
@@ -161,12 +185,12 @@ class _TvgCache:
             int(g.attrs["num_inliers"]),
         )
 
-    def put(self, name0, name1, n_matches, tvg):
+    def put(self, name0, name1, digest, tvg):
         k = self._key(name0, name1)
         if k in self._f:
             del self._f[k]
         g = self._f.create_group(k)
-        g.attrs["n_matches"] = n_matches
+        g.attrs["digest"] = digest
         g.attrs["config"] = int(tvg.config)
         g.attrs["tri_angle"] = tvg.tri_angle
         g.attrs["num_inliers"] = tvg.num_inliers

@@ -168,7 +168,9 @@ def test_match_cache_skips_existing_pairs(tmp_path):
 
 def test_tvg_cache_roundtrip(tmp_path):
     """Two-view geometry cache (COLMAP two_view_geometries analog):
-    put/get roundtrip + invalidation on match-count change."""
+    put/get roundtrip + invalidation when matches CONTENT, keypoints or
+    verification params change, even at coinciding match counts
+    (ADVICE r2: count-only keying silently reused stale geometries)."""
     from mpsfm_tpu.estimators.two_view import TwoViewGeometry
     from mpsfm_tpu.geometry.rotations import Rigid3d
     from mpsfm_tpu.scene.correspondences import _TvgCache
@@ -177,12 +179,28 @@ def test_tvg_cache_roundtrip(tmp_path):
         2, np.array([[0, 1], [2, 3]]), Rigid3d(np.array([1.0, 0, 0, 0]), np.zeros(3)),
         5.0, np.eye(3), 2,
     )
+    matches = np.array([[0, 1], [2, 3], [4, 5]])
+    kps0 = np.arange(12, dtype=np.float64).reshape(6, 2)
+    kps1 = kps0 + 0.5
+    dig = _TvgCache._digest(matches, kps0, kps1, 4.0, 512)
     c = _TvgCache(tmp_path / "tvg.h5")
-    c.put("a.jpg", "b.jpg", 10, tvg)
-    back = c.get("a.jpg", "b.jpg", 10)
+    c.put("a.jpg", "b.jpg", dig, tvg)
+    back = c.get("a.jpg", "b.jpg", dig)
     assert back is not None and back.num_inliers == 2
     assert back.inlier_matches.tolist() == [[0, 1], [2, 3]]
     assert int(back.config) == 2 and back.tri_angle == 5.0
-    assert c.get("a.jpg", "b.jpg", 11) is None  # match count changed
-    assert c.get("a.jpg", "c.jpg", 10) is None
+    # same count, different content -> miss
+    m2 = matches.copy()
+    m2[0, 1] = 9
+    assert c.get("a.jpg", "b.jpg", _TvgCache._digest(m2, kps0, kps1, 4.0, 512)) is None
+    # moved keypoints -> miss
+    assert c.get("a.jpg", "b.jpg", _TvgCache._digest(matches, kps0 + 1, kps1, 4.0, 512)) is None
+    # different RANSAC params -> miss
+    assert c.get("a.jpg", "b.jpg", _TvgCache._digest(matches, kps0, kps1, 2.0, 512)) is None
+    assert c.get("a.jpg", "b.jpg", _TvgCache._digest(matches, kps0, kps1, 4.0, 256)) is None
+    assert c.get("a.jpg", "c.jpg", dig) is None
+    # slash-bearing names collapse to the canonical pair key, no nesting
+    c.put("d/a.jpg", "b.jpg", dig, tvg)
+    assert c.get("d/a.jpg", "b.jpg", dig) is not None
+    assert all("/" not in k for k in c._f.keys())
     c.close()

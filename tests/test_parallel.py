@@ -6,42 +6,23 @@ import pytest
 import jax
 
 
-def test_sharded_ba_matches_single_device():
+def test_block_sharded_ba_mesh_sizes():
+    """Block-sharded BA converges across mesh sizes (supersedes the
+    round-1 obs-sharded path, removed in round 3)."""
     from __graft_entry__ import _synthetic_ba_data
-    from mpsfm_tpu.ba.solver import solve_ba
-    from mpsfm_tpu.parallel.dist_ba import make_mesh, solve_ba_sharded
-
-    data = _synthetic_ba_data(n_cams=8, n_pts=128)
-    q1, t1, x1, info1 = solve_ba(data, max_iters=3, cg_iters=30)
-    mesh = make_mesh(8)
-    q2, t2, x2, info2 = solve_ba_sharded(data, mesh, max_iters=3, cg_iters=30)
-    # identical math, replicated outputs
-    np.testing.assert_allclose(np.asarray(info1["cost0"]), np.asarray(info2["cost0"]), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=5e-3)
-    np.testing.assert_allclose(np.asarray(info1["cost"]), np.asarray(info2["cost"]), rtol=1e-2)
-
-
-def test_sharded_ba_mesh_sizes():
-    from __graft_entry__ import _synthetic_ba_data
-    from mpsfm_tpu.parallel.dist_ba import make_mesh, solve_ba_sharded
+    from mpsfm_tpu.parallel.dist_ba import (
+        make_mesh,
+        partition_ba_data,
+        solve_ba_block_sharded,
+    )
 
     data = _synthetic_ba_data(n_cams=4, n_pts=64)
-    for n in (2, 4, 8):
-        mesh = make_mesh(n)
-        q, t, x, info = solve_ba_sharded(data, mesh, max_iters=2, cg_iters=20)
+    for n in (2, 4):
+        parts, pids = partition_ba_data(data, n)
+        mesh = make_mesh(n, axis="blocks")
+        q, t, x, info = solve_ba_block_sharded(parts, mesh, max_iters=2)
         assert float(info["cost"]) <= float(info["cost0"])
         assert np.isfinite(np.asarray(x)).all()
-
-
-def test_sharded_obs_layouts():
-    """Odd observation counts fall back to replication without breaking."""
-    from __graft_entry__ import _synthetic_ba_data
-    from mpsfm_tpu.parallel.dist_ba import make_mesh, shard_ba_data
-
-    data = _synthetic_ba_data(n_cams=3, n_pts=33)  # No = 99, not divisible by 8
-    mesh = make_mesh(8)
-    sharded = shard_ba_data(data, mesh)
-    assert sharded.r_uv.shape[0] == data.r_uv.shape[0]
 
 
 def test_sharded_feature_inference_matches_sequential():

@@ -107,13 +107,14 @@ class SyntheticOracleBackend:
         return out
 
 
-# Architecture presets for the named neural backends (the framework's
-# ViT-DPT class — reference arch sizes: giant2 ~1.0B ViT-g, large ViT-L,
-# small ViT-S; canonical-focal convention like Metric3D's 1000px space).
+# Architecture presets for the named neural backends. metric3dv2-* route
+# to the EXACT Metric3Dv2 arch (nets/metric3d.py: official DINOv2-reg
+# encoder sizes — giant2 ViT-g 1536x40, large ViT-L 1024x24, small ViT-S
+# 384x12); the remaining entries parameterize their own exact nets.
 ARCH_PRESETS = {
-    "metric3dv2-giant2": {"dim": 1408, "depth_blocks": 40, "num_heads": 16, "feat": 256},
-    "metric3dv2-large": {"dim": 1024, "depth_blocks": 24, "num_heads": 16, "feat": 256},
-    "metric3dv2-small": {"dim": 384, "depth_blocks": 12, "num_heads": 6, "feat": 128},
+    "metric3dv2-giant2": {"encoder": "vit_giant2_reg"},
+    "metric3dv2-large": {"encoder": "vit_large_reg"},
+    "metric3dv2-small": {"encoder": "vit_small_reg"},
     "depthpro": {"dim": 1024, "depth_blocks": 24, "num_heads": 16, "feat": 256},
     "depthanythingv2-outdoor": {"dim": 1024, "depth_blocks": 24, "num_heads": 16, "feat": 256},
     "dsine": {"dim": 384, "depth_blocks": 12, "num_heads": 6, "feat": 128},
@@ -153,6 +154,8 @@ class NeuralDepthBackend:
                 self.backend = _DA2Backend(conf, base)
             elif base == "depthpro":
                 self.backend = _DepthProBackend(conf)
+            elif base.startswith("metric3dv2"):
+                self.backend = _Metric3DBackend(conf)
             else:
                 from mpsfm_tpu.extraction.nets.mono import ViTMonoBackend
 
@@ -228,6 +231,41 @@ class _DepthProBackend:
             fill = np.median(d[valid]) if valid.any() else 1.0
             out["normals"] = normals_from_depth(np.where(valid, d, fill), fx, fy, cx, cy)
             out["normals_variance"] = np.full(d.shape, (np.deg2rad(8.0)) ** 2)
+        return out
+
+
+class _Metric3DBackend:
+    """Architecture-exact Metric3Dv2 -> metric depth + normal priors.
+
+    Loads the official metric_depth_vit_{small,large,giant2}_800k.pth
+    layout directly (nets/metric3d.py keeps the depth_model.encoder./
+    decoder. names); runs the scale-canonical transform, the confidence->
+    error model and the BNI coordinate convention of the reference
+    wrapper (metric3dv2.py:29-120), plus the flipped second pass for
+    flip-consistency configs (:88-109)."""
+
+    def __init__(self, conf):
+        from mpsfm_tpu.extraction.nets.metric3d import Metric3Dv2
+
+        self.net = Metric3Dv2(conf)
+        if self.net.params is None:
+            self.net.init_random(0)
+        self.flip_consistency = bool(conf.get("flip_consistency", False))
+
+    def __call__(self, image_rgb, intrinsics=None, **kw):
+        if intrinsics is None:
+            h, w = np.asarray(image_rgb).shape[:2]
+            intrinsics = (max(h, w) * 1.2, max(h, w) * 1.2, w / 2, h / 2)
+        out = self.net.infer_image(image_rgb, intrinsics)
+        if self.flip_consistency:
+            out2 = self.net.infer_image(image_rgb, intrinsics, flip=True)
+            out.update({
+                "depth2": out2["depth"],
+                "depth_variance2": out2["depth_variance"],
+                "normals2": out2["normals"],
+                "normals2_variance": out2["normals_variance"],
+                "valid2": out2["valid"],
+            })
         return out
 
 

@@ -55,6 +55,7 @@ class Extraction(BaseClass):
         "matches_mode": "sparse",  # sparse | dense | sparse+dense (+measured)
         "depth": "oracle",
         "normals": "from_depth",
+        "normals_conf": {},
         "pairs_type": "exhaustive",  # exhaustive | sequential | retrieval
         "n_retrieval": 20,
         "seq_overlap": 10,
@@ -459,10 +460,23 @@ class Extraction(BaseClass):
             return dpath
         if self.depth_backend is None:
             self.depth_backend = get_prior_backend(self.conf.depth, dict(self.conf.depth_conf))
+        normals_backend = None
+        if self.conf.normals not in (None, "", "from_depth"):
+            # dedicated normals model (reference: DSINE runs separately
+            # from the depth model, extraction/base.py mono loop)
+            normals_backend = get_prior_backend(
+                self.conf.normals, dict(self.conf.normals_conf)
+            )
         for name in todo:
             rgb = io.read_image(self.scene_parser.image_path(name))
             kw = self.scene_parser.prior_inputs(name)
             out = self.depth_backend(rgb, **kw)
+            if normals_backend is not None:
+                try:
+                    nout = normals_backend(rgb, **kw)
+                    out.update(nout)
+                except RuntimeError:
+                    pass  # no weights in this environment: keep depth-derived
             if "normals" not in out and "intrinsics" in kw:
                 fx, fy, cx, cy = kw["intrinsics"]
                 out["normals"] = normals_from_depth(out["depth"], fx, fy, cx, cy)

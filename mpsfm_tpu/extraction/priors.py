@@ -156,6 +156,8 @@ class NeuralDepthBackend:
                 self.backend = _DepthProBackend(conf)
             elif base.startswith("metric3dv2"):
                 self.backend = _Metric3DBackend(conf)
+            elif base.startswith("dsine"):
+                self.backend = _DSINEBackend(conf)
             else:
                 from mpsfm_tpu.extraction.nets.mono import ViTMonoBackend
 
@@ -266,6 +268,35 @@ class _Metric3DBackend:
                 "normals2_variance": out2["normals_variance"],
                 "valid2": out2["valid"],
             })
+        return out
+
+
+class _DSINEBackend:
+    """Architecture-exact DSINE (v02_kappa) -> surface-normal priors.
+
+    Loads the official dsine.pth layout (nets/dsine.py keeps the
+    encoder.original_model.* geffnet TF-EfficientNet-B5 names); kappa ->
+    angular variance and the BNI coordinate convention of the reference
+    wrapper (normals/dsine.py:26-141), plus the flipped second pass the
+    reference always runs (:96-99) for the -fc return types."""
+
+    def __init__(self, conf):
+        from mpsfm_tpu.extraction.nets.dsine import DSINE
+
+        self.net = DSINE(conf)
+        if self.net.params is None:
+            self.net.init_random(0)
+        self.flip_consistency = bool(conf.get("flip_consistency", False))
+
+    def __call__(self, image_rgb, intrinsics=None, **kw):
+        if intrinsics is None:
+            h, w = np.asarray(image_rgb).shape[:2]
+            intrinsics = (max(h, w) * 1.2, max(h, w) * 1.2, w / 2, h / 2)
+        out = self.net.infer_image(image_rgb, intrinsics)
+        if self.flip_consistency:
+            out2 = self.net.infer_image(image_rgb, intrinsics, flip=True)
+            out["normals2"] = out2["normals"]
+            out["normals2_variance"] = out2["normals_variance"]
         return out
 
 

@@ -30,24 +30,38 @@ class Optimizer(BaseClass):
         "max_iters": 20,
         "cg_iters": 100,
         "use_depth": True,
+        # distributed BA (VERDICT r2 item 3): global refinements above
+        # dist_ba_min_cams cameras partition point blocks over the device
+        # mesh and solve with explicit shard_map/psum collectives
+        # (parallel/dist_ba.py); single-device below the threshold or when
+        # only one device exists. "auto" | "on" | "off".
+        "dist_ba": "auto",
+        "dist_ba_min_cams": 96,
+        "dist_ba_shards": 0,  # 0 -> all local devices
         "verbose": 0,
     }
 
     def _init(self, rec: Reconstruction):
         self.rec = rec
         self.truncation_multiplier = 1.0
+        self.dist_solves = 0  # observability: how many BAs ran on the mesh
 
     def _solve(self, bundle, mode, fix_pose, depth_loss_name, param_multiplier=1.0,
                allow_scale_filter=False, depth_type="update"):
         from mpsfm_tpu.utils.profiling import TIMERS
 
+        n_shards = self._use_dist_ba(bundle, mode) if not fix_pose else 0
         with TIMERS.phase("ba.build_data"):
-            prob = self._build(bundle, mode, fix_pose, param_multiplier,
-                               allow_scale_filter, depth_type)
-        return self._run_solve(prob, mode, depth_loss_name)
+            prob = self._build(
+                bundle, mode, fix_pose, param_multiplier,
+                allow_scale_filter, depth_type,
+                # the distributed solver partitions the sparse obs tables
+                representation="sparse" if n_shards else "solve",
+            )
+        return self._run_solve(prob, mode, depth_loss_name, n_shards)
 
     def _build(self, bundle, mode, fix_pose, param_multiplier,
-               allow_scale_filter, depth_type):
+               allow_scale_filter, depth_type, representation="solve"):
         return build_ba_data(
             self.rec,
             bundle,
@@ -61,10 +75,61 @@ class Optimizer(BaseClass):
             allow_scale_filter=allow_scale_filter and self.conf.scale_filter,
             scale_filter_factor=self.conf.scale_filter_factor,
             use_depth=self.conf.use_depth,
-            representation="solve",  # upload only the arrays the solver reads
+            representation=representation,
         )
 
-    def _run_solve(self, prob, mode, depth_loss_name):
+    def _use_dist_ba(self, bundle, mode):
+        if self.conf.dist_ba == "off" or mode != "global":
+            return 0
+        import jax
+
+        n_dev = len(jax.devices())
+        n = int(self.conf.dist_ba_shards) or n_dev
+        n = min(n, n_dev)
+        if n < 2:
+            return 0
+        if self.conf.dist_ba == "on":
+            return n
+        C = len(bundle["optim_ids"])
+        return n if C >= int(self.conf.dist_ba_min_cams) else 0
+
+    def _run_solve_dist(self, prob, mode, depth_loss_name, n_shards):
+        """Global BA on the device mesh: point-block partition + shard_map
+        LM with psum Schur reduction (the reference runs this through
+        Ceres threads, mpsfm/sfm/mapper/base.py:476-514 — here the mesh is
+        the scaling axis)."""
+        from mpsfm_tpu.parallel.dist_ba import (
+            make_mesh,
+            partition_ba_data,
+            solve_ba_block_sharded,
+            unpartition_points,
+        )
+
+        self.dist_solves += 1
+        parts, pids = partition_ba_data(prob.data, n_shards)
+        mesh = make_mesh(n_shards, axis="blocks")
+        quat, t, xyz_sh, info = solve_ba_block_sharded(
+            parts, mesh,
+            reproj_loss=losses.LOSS_IDS[self.conf.reproj_loss_name],
+            depth_loss=losses.LOSS_IDS[depth_loss_name],
+            max_iters=self.conf.max_iters,
+        )
+        cost = float(np.asarray(info["cost"]))
+        if not np.isfinite(cost):
+            return None, False
+        P_n = int(np.asarray(prob.data.xyz).shape[0])
+        xyz = unpartition_points(np.asarray(xyz_sh), pids, P_n)
+        apply_ba_result(self.rec, prob, np.asarray(quat), np.asarray(t), xyz)
+        self.log(
+            f"BA[{mode}/dist x{n_shards}] cost {float(np.asarray(info['cost0'])):.1f}"
+            f" -> {cost:.1f} ({int(np.asarray(info['accepted']))} steps)",
+            level=2,
+        )
+        return info, True
+
+    def _run_solve(self, prob, mode, depth_loss_name, n_shards=0):
+        if n_shards and prob.data is not None:
+            return self._run_solve_dist(prob, mode, depth_loss_name, n_shards)
         if prob.dense is not None:
             from mpsfm_tpu.ba.dense import solve_ba_dense
 

@@ -5,20 +5,30 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The metric is LM iterations/second on a standard synthetic bundle
 (64 cameras x 8192 points, ~100k reprojection + 26k depth observations)
 — the hot loop the reference runs through Ceres SPARSE_SCHUR on all CPU
-threads (SURVEY.md §6). vs_baseline is relative to a measured CPU-thread
-Ceres-class proxy recorded in BASELINE.md targets; until a Ceres run
-exists in-image, vs_baseline reports value/BASELINE_REF_ITERS_PER_S.
+threads (SURVEY.md §6). vs_baseline divides by the MEASURED CPU LM of
+the same bundle (scripts/bench_cpu_baseline.py: numpy/BLAS dense-Schur
+LM, identical residuals/losses, full-work iterations, all host cores),
+recorded in BASELINE_CPU.json and BASELINE.md. Fallback if the
+measurement file is absent: a conservative 5.0 iters/s Ceres-class
+constant.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-# Reference operating point: Ceres SPARSE_SCHUR on CPU solves bundles of
-# this size at single-digit iterations/s (measured Ceres numbers on
-# comparable problems; refined once a local baseline exists).
-BASELINE_REF_ITERS_PER_S = 5.0
+FALLBACK_REF_ITERS_PER_S = 5.0
+
+
+def cpu_baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_CPU.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["cpu_lm_iters_per_s"])
+    except (OSError, KeyError, ValueError):
+        return FALLBACK_REF_ITERS_PER_S
 
 
 def main():
@@ -54,7 +64,7 @@ def main():
                 "metric": "ba_lm_iters_per_s_64cam_8kpts",
                 "value": round(iters_per_s, 2),
                 "unit": "LM iters/s",
-                "vs_baseline": round(iters_per_s / BASELINE_REF_ITERS_PER_S, 2),
+                "vs_baseline": round(iters_per_s / cpu_baseline(), 2),
             }
         )
     )

@@ -218,6 +218,40 @@ class LightGlue:
         return out.astype(q.dtype).transpose(0, 2, 1, 3)
 
     @staticmethod
+    def _attention_qchunk(q, k, v, kv_mask, sm_scale, block=256):
+        """Query-chunked attention: scan over query blocks; each step's
+        (B,H,block,M) logits chain (qk -> mask -> softmax -> pv) fuses
+        into one kernel, so only a block-tall logits tile is ever live —
+        without the online-softmax correction passes of the KV-streaming
+        path (the full key row is present, softmax is exact per block).
+        HBM traffic per step ~ block·M instead of N·M."""
+        B, N, H, hd = q.shape
+        block = min(block, N)
+        while N % block:
+            block //= 2
+        nb = N // block
+        qT = q.transpose(0, 2, 1, 3).reshape(B, H, nb, block, hd)
+        qT = qT.transpose(2, 0, 1, 3, 4)  # (nb,B,H,block,hd)
+        kT = k.transpose(0, 2, 1, 3)  # (B,H,M,hd)
+        vT = v.transpose(0, 2, 1, 3)
+
+        def step(_, qb):
+            s = jnp.einsum(
+                "bhnd,bhmd->bhnm", qb, kT, preferred_element_type=jnp.float32
+            ) * sm_scale
+            s = jnp.where(kv_mask[:, None, None, :], s, -1e30)
+            pmat = jax.nn.softmax(s, -1)
+            ob = jnp.einsum(
+                "bhnm,bhmd->bhnd", pmat.astype(v.dtype), vT,
+                preferred_element_type=jnp.float32,
+            )
+            return None, ob.astype(q.dtype)
+
+        _, out = jax.lax.scan(step, None, qT)  # (nb,B,H,block,hd)
+        out = out.transpose(1, 2, 0, 3, 4).reshape(B, H, N, hd)
+        return out.transpose(0, 2, 1, 3)
+
+    @staticmethod
     def _attention(q, k, v, q_mask, kv_mask, sm_scale):
         """softmax(q kᵀ · sm_scale) v with key-padding masks.
 
@@ -247,6 +281,8 @@ class LightGlue:
         )
         if mode == "stream":
             return LightGlue._attention_streaming(q, k, v, kv_mask, sm_scale)
+        if mode == "qchunk":
+            return LightGlue._attention_qchunk(q, k, v, kv_mask, sm_scale)
         if mode == "pallas" and big:
             try:
                 from jax.experimental.pallas.ops.tpu.flash_attention import (

@@ -450,3 +450,33 @@ def test_streaming_attention_matches_einsum():
             )
         )
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_qchunk_attention_matches_einsum():
+    """Query-chunked attention (scan over query blocks, exact per-block
+    softmax) == plain masked softmax attention."""
+    from mpsfm_tpu.extraction.matchers.lightglue import LightGlue
+
+    rng = np.random.default_rng(1)
+    B, N, M, H, hd = 2, 64, 96, 4, 16
+    q = rng.normal(size=(B, N, H, hd)).astype(np.float32)
+    k = rng.normal(size=(B, M, H, hd)).astype(np.float32)
+    v = rng.normal(size=(B, M, H, hd)).astype(np.float32)
+    kv_mask = np.ones((B, M), bool)
+    kv_mask[1, 50:] = False
+    scale = 1.0 / np.sqrt(hd)
+
+    logits = np.einsum("bnhd,bmhd->bhnm", q, k) * scale
+    logits = np.where(kv_mask[:, None, None, :], logits, -1e30)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhnm,bmhd->bnhd", p, v)
+
+    for block in (16, 64, 256):
+        out = np.asarray(
+            LightGlue._attention_qchunk(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                jnp.asarray(kv_mask), scale, block=block,
+            )
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -30,6 +30,11 @@ def get_dense_matcher(name: str, conf=None):
         from mpsfm_tpu.extraction.nets.two_view import TwoViewMatcher
 
         return TwoViewMatcher(conf)
+    if name == "mast3r":
+        # the EXACT MASt3R arch (nets/mast3r.py, official checkpoint naming)
+        from mpsfm_tpu.extraction.nets.mast3r import Mast3rMatcher
+
+        return Mast3rMatcher(conf)
     if name in ("warp", "roma_class"):
         from mpsfm_tpu.extraction.nets.warp import WarpMatcher
 

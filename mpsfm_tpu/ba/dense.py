@@ -200,8 +200,8 @@ def solve_ba_dense(
     eyeK = jnp.eye(K, dtype=dtype)
     ii = jnp.arange(C)
 
-    def step(carry, _):
-        quat, t, xyz, lam, cost, done, accepted, ne = carry
+    def step(carry):
+        it, quat, t, xyz, lam, cost, done, accepted, ne, hist = carry
         Hcc, g_c, hpp6, g_p, Tflat = ne
 
         # LM augmentation
@@ -276,10 +276,12 @@ def solve_ba_dense(
         cost = jnp.where(take, new_cost, cost)
         accepted = accepted + take.astype(jnp.int32)
         ne = jax.lax.cond(take, lambda: ne_of(quat, t, xyz), lambda: ne)
-        return (quat, t, xyz, lam, cost, done, accepted, ne), cost
+        hist = hist.at[it].set(cost)
+        return (it + 1, quat, t, xyz, lam, cost, done, accepted, ne, hist)
 
     cost0 = cost_of(data.quat, data.t, data.xyz)
     init = (
+        jnp.asarray(0, jnp.int32),
         data.quat,
         data.t,
         data.xyz,
@@ -288,8 +290,14 @@ def solve_ba_dense(
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
         ne_of(data.quat, data.t, data.xyz),
+        jnp.full((max_iters,), cost0, dtype),
     )
-    (quat, t, xyz, lam, cost, done, accepted, _ne), cost_hist = jax.lax.scan(step, init, None, length=max_iters)
+    # while_loop (not scan): converged solves EXIT instead of burning the
+    # remaining scheduled iterations' trial evaluations — the mapper runs
+    # ~130 solves per scene and most converge in well under max_iters.
+    _it, quat, t, xyz, lam, cost, done, accepted, _ne, cost_hist = jax.lax.while_loop(
+        lambda c: (c[0] < max_iters) & ~c[6], step, init
+    )
     info = {"cost0": cost0, "cost": cost, "accepted": accepted, "cost_history": cost_hist}
     return quat, t, xyz, info
 

@@ -666,8 +666,8 @@ def solve_ba(
     def ne_of(quat, t, xyz):
         return _assemble_ne(data, quat, t, xyz, reproj_loss, depth_loss)
 
-    def step(carry, _):
-        quat, t, xyz, lam, cost, done, accepted, ne, rhs0_norm = carry
+    def step(carry):
+        it, quat, t, xyz, lam, cost, done, accepted, ne, rhs0_norm, hist, cg_hist = carry
         # ne holds the normal-equation products at the CURRENT state; they
         # are lambda-independent, so rejected steps reuse them and only the
         # (cheap) augmented solve + residual-only trial cost re-runs.
@@ -729,10 +729,13 @@ def solve_ba(
         cost = jnp.where(take, new_cost, cost)
         accepted = accepted + take.astype(jnp.int32)
         ne = jax.lax.cond(take, lambda: ne_of(quat, t, xyz), lambda: ne)
-        return (quat, t, xyz, lam, cost, done, accepted, ne, rhs0_norm), (cost, cg_used)
+        hist = hist.at[it].set(cost)
+        cg_hist = cg_hist.at[it].set(cg_used)
+        return (it + 1, quat, t, xyz, lam, cost, done, accepted, ne, rhs0_norm, hist, cg_hist)
 
     cost0 = cost_of(data.quat, data.t, data.xyz)
     init = (
+        jnp.asarray(0, jnp.int32),
         data.quat,
         data.t,
         data.xyz,
@@ -742,9 +745,13 @@ def solve_ba(
         jnp.asarray(0, jnp.int32),
         ne_of(data.quat, data.t, data.xyz),
         jnp.asarray(-1.0, dtype),
+        jnp.full((max_iters,), cost0, dtype),
+        jnp.zeros((max_iters,), jnp.int32),
     )
-    (quat, t, xyz, lam, cost, done, accepted, _ne, _r0), (cost_hist, cg_hist) = jax.lax.scan(
-        step, init, None, length=max_iters
+    # while_loop (not scan): converged solves exit early instead of paying
+    # the remaining iterations' trial-cost evaluations.
+    (_it, quat, t, xyz, lam, cost, done, accepted, _ne, _r0, cost_hist, cg_hist) = jax.lax.while_loop(
+        lambda c: (c[0] < max_iters) & ~c[6], step, init
     )
     info = {
         "cost0": cost0,

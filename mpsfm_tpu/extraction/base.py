@@ -39,6 +39,11 @@ def get_dense_matcher(name: str, conf=None):
         from mpsfm_tpu.extraction.nets.warp import WarpMatcher
 
         return WarpMatcher(conf)
+    if name == "roma":
+        # the EXACT RoMa arch (nets/roma.py, official checkpoint naming)
+        from mpsfm_tpu.extraction.nets.roma import RomaMatcher
+
+        return RomaMatcher(conf)
     raise ValueError(f"unknown dense matcher '{name}'")
 from mpsfm_tpu.extraction.matchers.lightglue import LightGlue
 from mpsfm_tpu.extraction.matchers.nn import MutualNNMatcher

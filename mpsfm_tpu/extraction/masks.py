@@ -45,12 +45,12 @@ def sky_mask_heuristic(image_rgb: np.ndarray, brightness_thresh=0.55, texture_th
 
 
 class SkyMask:
-    default_conf = {"backend": "heuristic", "onnx_path": None}
+    default_conf = {"backend": "heuristic", "onnx_path": None, "thresh": 0.5}
 
-    def __init__(self, conf=None):
+    def __init__(self, conf=None, session=None):
         self.conf = {**self.default_conf, **(conf or {})}
-        self._session = None
-        if self.conf["backend"] == "onnx":
+        self._session = session  # injectable for tests (fake onnx session)
+        if self._session is None and self.conf["backend"] == "onnx":
             import onnxruntime  # noqa: F401 — raises if unavailable
 
             self._session = onnxruntime.InferenceSession(self.conf["onnx_path"])
@@ -61,12 +61,29 @@ class SkyMask:
         return sky_mask_heuristic(image_rgb)
 
     def _onnx(self, image_rgb):
-        """Reference skyseg: 320x320 input, sigmoid output, guided upsample
-        approximated by bilinear + threshold."""
+        """Reference skyseg pipeline EXACTLY (skyseg.py:148-212): pyrDown
+        while >=640, 320x320 ImageNet-normalized inference, min-max output
+        normalization, confidence-weighted GUIDED upsampling against the
+        full-res image (kernel 256), mask = prob <= thresh (True = not
+        sky)."""
         import cv2
 
-        img = cv2.resize(image_rgb.astype(np.float32) / 255.0, (320, 320))
-        inp = img.transpose(2, 0, 1)[None]
-        out = self._session.run(None, {self._session.get_inputs()[0].name: inp})[0][0, 0]
-        prob = cv2.resize(out, (image_rgb.shape[1], image_rgb.shape[0]))
-        return prob < 0.5  # True = not sky
+        from mpsfm_tpu.extraction.guided_filter import guided_upsample
+
+        original = np.asarray(image_rgb)
+        if original.ndim == 2:
+            original = np.stack([original] * 3, -1)
+        img = original
+        while img.shape[0] >= 640 and img.shape[1] >= 640:
+            img = cv2.pyrDown(img)
+        x = cv2.resize(img.astype(np.float32), (320, 320))
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        x = (x / 255.0 - mean) / std
+        inp = x.transpose(2, 0, 1)[None].astype(np.float32)
+        out = self._session.run(None, {self._session.get_inputs()[0].name: inp})[0]
+        out = np.asarray(out).squeeze()
+        # reference min-max normalization (run_inference, skyseg.py:166-172)
+        out = (out - out.min()) / max(out.max() - out.min(), 1e-12)
+        prob = guided_upsample(original.astype(np.float64) / 255.0, out, 256)
+        return prob <= self.conf["thresh"]  # True = not sky

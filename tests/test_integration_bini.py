@@ -161,3 +161,35 @@ def test_int_covs_entire_image_subsampled_matches_exact(rng):
     rel = np.abs(est - exact) / np.maximum(exact, 1e-12)
     # stochastic estimator: the bulk must track closely
     assert np.median(rel) < 0.15, float(np.median(rel))
+
+
+def test_deflation_accuracy_on_discontinuous_scene(rng):
+    """VERDICT r2 weak item 8: deflated-PCG diag(H^-1) accuracy pinned on
+    a DISCONTINUOUS scene (a depth step splits the image into two regions
+    whose smooth modes {1,x,y} span the near-kernel less cleanly than on
+    the plane fixture). Low-iteration deflated solves must track a
+    high-iteration ground truth."""
+    # two fronto-parallel planes with a sharp step at mid-height
+    depth = np.full((H, W), 4.0)
+    depth[H // 2:] = 2.0
+    normals = np.zeros((H, W, 3))
+    normals[..., 2] = -1.0
+    # texture: mild multiplicative depth noise
+    depth = depth * np.exp(rng.normal(scale=0.01, size=depth.shape))
+    inp = make_inputs(depth, normals, unc=0.08)
+    z, _ = bini_solve(inp, BiniParams(max_iter=4, cg_max_iter=300))
+
+    rows = jnp.asarray([8, H // 4, H // 2 - 2, H // 2 + 2, 3 * H // 4, H - 8], jnp.int32)
+    cols = jnp.asarray([10, W // 2, W - 10, 10, W // 2, W - 10], jnp.int32)
+
+    ref = np.asarray(
+        diag_inverse_at(inp, BiniParams(cg_max_iter=400), z, rows, cols, chunk=8)
+    )
+    lo = np.asarray(
+        diag_inverse_at(inp, BiniParams(cg_max_iter=16), z, rows, cols, chunk=8)
+    )
+    rel = np.abs(lo - ref) / np.maximum(ref, 1e-30)
+    # the plane fixture reaches ~1% at 16 iters; allow 10% on the
+    # discontinuous scene but require it everywhere, both sides of the step
+    assert (ref > 0).all() and (lo > 0).all()
+    assert rel.max() < 0.10, rel

@@ -3,6 +3,10 @@
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mpsfm_tpu.ba import losses
@@ -13,6 +17,28 @@ from mpsfm_tpu.ba.shift_scale import update_truncation_multiplier as _trunc
 from mpsfm_tpu.ba.solver import solve_ba
 from mpsfm_tpu.config import BaseClass
 from mpsfm_tpu.scene.reconstruction import Reconstruction
+
+
+@partial(jax.jit)
+def _pack_result(quat, t, xyz, cost0, cost, accepted):
+    """Pack the solver outputs into one flat f32 row so the host reads
+    them in a SINGLE transfer (per-read tunnel latency dominates)."""
+    return jnp.concatenate([
+        quat.astype(jnp.float32).ravel(),
+        t.astype(jnp.float32).ravel(),
+        xyz.astype(jnp.float32).ravel(),
+        jnp.stack([cost0, cost, accepted.astype(jnp.float32)]),
+    ])
+
+
+def _fetch_result(quat, t, xyz, cost0, cost, accepted):
+    C = quat.shape[0]
+    P = xyz.shape[0]
+    flat = np.asarray(_pack_result(quat, t, xyz, cost0, cost, accepted))
+    q = flat[: 4 * C].reshape(C, 4)
+    tt = flat[4 * C: 7 * C].reshape(C, 3)
+    x = flat[7 * C: 7 * C + 3 * P].reshape(P, 3)
+    return q, tt, x, flat[7 * C + 3 * P:]
 
 
 class Optimizer(BaseClass):
@@ -147,15 +173,20 @@ class Optimizer(BaseClass):
                 max_iters=self.conf.max_iters,
                 cg_iters=self.conf.cg_iters,
             )
-        cost = float(info["cost"])
+        # ONE device->host transfer for the whole result: separate
+        # np.asarray/float() reads each pay the ~35-100 ms tunnel
+        # round-trip; the mapper makes ~130 solver calls per scene.
+        quat, t, xyz, scal = _fetch_result(quat, t, xyz, info["cost0"], info["cost"],
+                                           info["accepted"])
+        cost0, cost, accepted = float(scal[0]), float(scal[1]), int(scal[2])
         if not np.isfinite(cost):
             return None, False
         apply_ba_result(self.rec, prob, quat, t, xyz)
         self.log(
-            f"BA[{mode}] cost {float(info['cost0']):.1f} -> {cost:.1f} "
-            f"({int(info['accepted'])} steps)",
+            f"BA[{mode}] cost {cost0:.1f} -> {cost:.1f} ({accepted} steps)",
             level=2,
         )
+        info = {"cost0": cost0, "cost": cost, "accepted": accepted}
         return info, True
 
     def ba(self, bundle, mode="global", param_multiplier=1.0, allow_scale_filter=False, **kw):

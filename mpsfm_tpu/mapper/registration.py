@@ -181,6 +181,28 @@ def run_pnp_small(xyz, xy_norm, thresh_norm_sq):
     }
 
 
+@jax.jit
+def _pack_ransac(quat, t, num_inliers, inlier_mask):
+    """One flat f32 row: [quat(4), t(3), n_inl(1), mask(nb)] — a single
+    device->host transfer instead of four (each pays tunnel latency)."""
+    return jnp.concatenate([
+        quat.astype(jnp.float32), t.astype(jnp.float32),
+        jnp.stack([num_inliers.astype(jnp.float32)]),
+        inlier_mask.astype(jnp.float32),
+    ])
+
+
+def _fetch_ransac(out, n):
+    flat = np.asarray(_pack_ransac(
+        out["pose"].quat, out["pose"].t, out["num_inliers"], out["inlier_mask"]
+    ))
+    return {
+        "pose": Pose(np.asarray(flat[:4], np.float64), np.asarray(flat[4:7], np.float64)),
+        "inlier_mask": flat[8:8 + n] > 0.5,
+        "num_inliers": int(flat[7]),
+    }
+
+
 def run_ransac_pnp(xyz, xy_norm, thresh_norm_sq, num_hyp=512, seed=0):
     """Padded host wrapper around the jitted PnP RANSAC (6-pt DLT
     samples); falls back to exhaustive host P3P below 6 points."""
@@ -198,11 +220,7 @@ def run_ransac_pnp(xyz, xy_norm, thresh_norm_sq, num_hyp=512, seed=0):
         jnp.float32(thresh_norm_sq),
         num_hyp=num_hyp,
     )
-    return {
-        "pose": Pose(np.asarray(out["pose"].quat, np.float64), np.asarray(out["pose"].t, np.float64)),
-        "inlier_mask": np.asarray(out["inlier_mask"])[:n],
-        "num_inliers": int(out["num_inliers"]),
-    }
+    return _fetch_ransac(out, n)
 
 
 def run_ransac_essential(xy1n, xy2n, thresh_norm_sq, num_hyp=512, seed=0):
@@ -218,11 +236,7 @@ def run_ransac_essential(xy1n, xy2n, thresh_norm_sq, num_hyp=512, seed=0):
         jnp.float32(thresh_norm_sq),
         num_hyp=num_hyp,
     )
-    return {
-        "pose": Pose(np.asarray(out["pose"].quat, np.float64), np.asarray(out["pose"].t, np.float64)),
-        "inlier_mask": np.asarray(out["inlier_mask"])[:n],
-        "num_inliers": int(out["num_inliers"]),
-    }
+    return _fetch_ransac(out, n)
 
 
 def run_ransac_homography_pose(xy1n, xy2n, thresh_norm_sq, num_hyp=512, seed=0, prior_normal=None):

@@ -557,8 +557,12 @@ def _cam_broadcast_rows(x, N):
     return jnp.broadcast_to(x[:, None, :], (C, N // C, x.shape[1])).reshape(N, x.shape[1])
 
 
-def _schur_pcg(data: BAData, Hcc_aug, Hpp_inv, Wr_rows, Wd_rows, rhs, cg_iters: int, cg_tol):
-    """PCG on S x = rhs with S = Hcc_aug − W Hpp_inv Wᵀ, matrix-free."""
+def _schur_pcg(data: BAData, Hcc_aug, Hpp_inv, Wr_rows, Wd_rows, rhs, cg_iters: int, cg_tol,
+               x0=None):
+    """PCG on S x = rhs with S = Hcc_aug − W Hpp_inv Wᵀ, matrix-free.
+    x0: optional warm start (the previous LM iteration's camera step —
+    successive reduced systems differ only by the state update and λ, so
+    the previous solution removes most of the initial residual)."""
     C = Hcc_aug.shape[0]
     No, Nd = Wr_rows.shape[0], Wd_rows.shape[0]
     Wr = Wr_rows.reshape(No, 6, 3)
@@ -579,7 +583,7 @@ def _schur_pcg(data: BAData, Hcc_aug, Hpp_inv, Wr_rows, Wd_rows, rhs, cg_iters: 
     def prec(r):
         return jnp.einsum("cij,cj->ci", Minv, r)
 
-    x0 = jnp.zeros_like(rhs)
+    x0 = jnp.zeros_like(rhs) if x0 is None else x0
     r0 = rhs - S_mv(x0)
     z0 = prec(r0)
     p0 = z0
@@ -642,14 +646,21 @@ def solve_ba(
     reproj_loss: int = losses.SOFT_L1,
     depth_loss: int = losses.CAUCHY,
     max_iters: int = 20,
-    cg_iters: int = 100,
+    # CG budget 32 (was 100): at 512 cams the preconditioned residual
+    # stalls mid-solve and CG just burns its cap in ~5ms gather
+    # iterations; capping at 32 gives the SAME final cost with MORE
+    # accepted LM steps (inexact steps are gated by the accept test) and
+    # 1.62 -> 3.52 LM iters/s on the 512-cam/131k-pt bench (PERF.md r3).
+    cg_iters: int = 32,
     # inexact-Newton forcing ceiling: the LM accept test gates step quality,
     # so early Schur solves only need ~2 digits of relative residual — on
     # the slot-table path every extra CG iteration is 2 dynamic gathers over
     # all observation rows (the dominant cost at 500+ cameras). The
     # EFFECTIVE tolerance tightens as the gradient shrinks
     # (Eisenstat–Walker-style min(cg_tol, sqrt(‖rhs‖/‖rhs0‖)), floored at
-    # 1e-6) so late iterations on small problems recover full accuracy.
+    # 1e-4 — the LM accept test gates step quality; tighter inner solves
+    # at 500+ cameras only buy more ~5ms gather iterations) so late
+    # iterations tighten as the gradient shrinks.
     cg_tol: float = 1e-2,
     lm_lambda0: float = 1e-4,
     rel_tol: float = 1e-6,
@@ -667,7 +678,8 @@ def solve_ba(
         return _assemble_ne(data, quat, t, xyz, reproj_loss, depth_loss)
 
     def step(carry):
-        it, quat, t, xyz, lam, cost, done, accepted, ne, rhs0_norm, hist, cg_hist = carry
+        (it, quat, t, xyz, lam, cost, done, accepted, ne, rhs0_norm, hist, cg_hist,
+         delta_prev) = carry
         # ne holds the normal-equation products at the CURRENT state; they
         # are lambda-independent, so rejected steps reuse them and only the
         # (cheap) augmented solve + residual-only trial cost re-runs.
@@ -702,9 +714,12 @@ def solve_ba(
             delta_c, cg_used = _dense_schur_solve(T, Hcc_aug, Hpp_inv, rhs)
         else:
             tol_eff = jnp.clip(
-                jnp.sqrt(rhs_norm / jnp.maximum(rhs0_norm, 1e-30)), 1e-6, cg_tol
+                jnp.sqrt(rhs_norm / jnp.maximum(rhs0_norm, 1e-30)), 1e-4, cg_tol
             )
-            delta_c, cg_used = _schur_pcg(data, Hcc_aug, Hpp_inv, Wr_rows, Wd_rows, rhs, cg_iters, tol_eff)
+            delta_c, cg_used = _schur_pcg(
+                data, Hcc_aug, Hpp_inv, Wr_rows, Wd_rows, rhs, cg_iters, tol_eff,
+                x0=delta_prev,
+            )
         delta_c = delta_c * data.cam_dof
 
         # Back-substitution: Δp = −Hpp⁻¹ (g_p + Wᵀ Δc)
@@ -731,7 +746,8 @@ def solve_ba(
         ne = jax.lax.cond(take, lambda: ne_of(quat, t, xyz), lambda: ne)
         hist = hist.at[it].set(cost)
         cg_hist = cg_hist.at[it].set(cg_used)
-        return (it + 1, quat, t, xyz, lam, cost, done, accepted, ne, rhs0_norm, hist, cg_hist)
+        return (it + 1, quat, t, xyz, lam, cost, done, accepted, ne, rhs0_norm, hist,
+                cg_hist, delta_c)
 
     cost0 = cost_of(data.quat, data.t, data.xyz)
     init = (
@@ -747,10 +763,12 @@ def solve_ba(
         jnp.asarray(-1.0, dtype),
         jnp.full((max_iters,), cost0, dtype),
         jnp.zeros((max_iters,), jnp.int32),
+        jnp.zeros((C, 6), dtype),
     )
     # while_loop (not scan): converged solves exit early instead of paying
     # the remaining iterations' trial-cost evaluations.
-    (_it, quat, t, xyz, lam, cost, done, accepted, _ne, _r0, cost_hist, cg_hist) = jax.lax.while_loop(
+    (_it, quat, t, xyz, lam, cost, done, accepted, _ne, _r0, cost_hist, cg_hist,
+     _dp) = jax.lax.while_loop(
         lambda c: (c[0] < max_iters) & ~c[6], step, init
     )
     info = {

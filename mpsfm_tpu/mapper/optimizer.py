@@ -54,7 +54,7 @@ class Optimizer(BaseClass):
         "min_truncation_mult": None,
         "single_rescale": True,
         "max_iters": 20,
-        "cg_iters": 100,
+        "cg_iters": 32,
         "use_depth": True,
         # distributed BA (VERDICT r2 item 3): global refinements above
         # dist_ba_min_cams cameras partition point blocks over the device

@@ -32,9 +32,10 @@ def main(n_cams=512, n_pts=131072, iters=20):
         f"(built in {time.time() - t0:.1f}s)"
     )
 
-    kw = dict(max_iters=iters, cg_iters=100, rel_tol=0.0)
+    kw = dict(max_iters=iters, rel_tol=0.0)  # solver default CG budget (32, PERF.md r3)
     t0 = time.time()
-    solve_ba(data, **kw)
+    _q, _t, _x, _info = solve_ba(data, **kw)
+    float(np.asarray(_info["cost"]))  # force execution (dispatch is async)
     print(f"compile+first solve: {time.time() - t0:.1f}s")
 
     t0 = time.time()

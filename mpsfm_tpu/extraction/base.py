@@ -401,9 +401,36 @@ class Extraction(BaseClass):
         if path.exists() and "d" not in self.extract:
             with h5py.File(path, "r") as f:
                 existing = {k2 for k in f.keys() for k2 in (k,)}
+        # prefer the dense matcher's OWN per-pair depth (MASt3R pointmap z
+        # + (1/conf)² variance — exactly the reference's depth stream);
+        # lazily instantiated so measured-RGB-D scenes never build it
+        pair_depth_model = [None]
+
+        def get_pair_depth_model():
+            if pair_depth_model[0] is None:
+                m = get_dense_matcher(
+                    self.conf.dense_matcher, dict(self.conf.dense_matcher_conf)
+                )
+                pair_depth_model[0] = m if hasattr(m, "pair_depth") else False
+            return pair_depth_model[0]
+
         for name0, name1 in pairs:
             key = io.names_to_pair(name0, name1)
             if key in existing:
+                continue
+            kw0 = self.scene_parser.prior_inputs(name0)
+            if kw0.get("depth_measured") is None and get_pair_depth_model():
+                imgs = [io.read_image(self.scene_parser.image_path(n)) for n in (name0, name1)]
+                res = pair_depth_model[0].pair_depth(*imgs)
+                io.write_pair_mono_map(path, name0, name1, {
+                    name0: {"depth": np.asarray(res["0"]["depth"], np.float32),
+                            "valid": res["0"]["valid"],
+                            "variance": np.asarray(res["0"]["variance"], np.float32)},
+                    name1: {"depth": np.asarray(res["1"]["depth"], np.float32),
+                            "valid": res["1"]["valid"],
+                            "variance": np.asarray(res["1"]["variance"], np.float32)},
+                })
+                self.log(f"pair depth (two-view) {name0}-{name1}", level=2)
                 continue
             per_image = {}
             for name in (name0, name1):

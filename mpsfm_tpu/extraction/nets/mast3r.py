@@ -416,7 +416,14 @@ class Mast3rMatcher:
         self.conf = conf
         self.net = Mast3rNet(conf)
         if self.net.params is None:
-            self.net.init_random(0)
+            if self.net.conf["enc_dim"] >= 512:
+                raise RuntimeError(
+                    "MASt3R matcher has no weights in this environment. "
+                    "Set dense_matcher_conf.weights_path to "
+                    "MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric.pth "
+                    "(zero-egress images ship no checkpoints)."
+                )
+            self.net.init_random(0)  # tiny test configs only
 
     def _prep(self, img):
         img = np.asarray(img, np.float32)

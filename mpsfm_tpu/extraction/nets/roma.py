@@ -527,7 +527,13 @@ class RomaMatcher:
         self.conf = conf
         self.net = RomaNet(conf)
         if self.net.params is None:
-            self.net.init_random(0)
+            if self.net.conf["vit_dim"] >= 512:
+                raise RuntimeError(
+                    "RoMa matcher has no weights in this environment. Set "
+                    "dense_matcher_conf.weights_path (roma_outdoor.pth) and "
+                    "dinov2_weights_path (dinov2_vitl14_pretrain.pth)."
+                )
+            self.net.init_random(0)  # tiny test configs only
 
     def _prep(self, img, res):
         img = np.asarray(img, np.float32)

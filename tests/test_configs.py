@@ -16,7 +16,7 @@ from mpsfm_tpu.extraction.base import FEATURE_MODELS, MATCHER_MODELS
 REPO = os.path.join(os.path.dirname(__file__), "..")
 CONFIGS = sorted(glob.glob(os.path.join(REPO, "configs", "**", "*.yaml"), recursive=True))
 
-DENSE_MATCHERS = {"dense_ncc", "ncc", "two_view", "mast3r_class", "warp", "roma_class"}
+DENSE_MATCHERS = {"dense_ncc", "ncc", "two_view", "mast3r_class", "mast3r", "warp", "roma_class", "roma"}
 PAIR_TYPES = {"exhaustive", "sequential", "retrieval"}
 
 

@@ -376,3 +376,50 @@ def test_mast3r_matcher_interface(tmp_path):
     fwd, _ = m._forward(imgA, imgB)
     desc = m.descriptors_at(fwd, np.array([[10.0, 12.0], [30.0, 20.0]]), 0)
     assert desc.shape == (2, TINY["desc_dim"])
+
+
+def test_extract_pair_depths_uses_matcher_pointmap(tmp_path):
+    """'depth' matching mode: extract_pair_depths prefers the dense
+    matcher's OWN per-pair depth (MASt3R pointmap z, (1/conf)^2 variance
+    — reference match_dense_2view.py:191-199) over the per-image backend
+    when no measured depth exists."""
+    import cv2
+
+    from mpsfm_tpu.extraction.base import Extraction
+    from mpsfm_tpu.extraction.nets.mast3r import Mast3rNet
+    from mpsfm_tpu.utils import io
+
+    src = Mast3rNet(TINY)
+    src.init_random(3)
+    ckpt = tmp_path / "MASt3R_tiny_metric.pth"
+    torch.save(
+        {"model": {k: torch.from_numpy(np.asarray(v).copy()) for k, v in src.params.items()}},
+        ckpt,
+    )
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    names = ["a.png", "b.png"]
+    for n in names:
+        cv2.imwrite(str(img_dir / n), (rng.random((48, 64, 3)) * 255).astype(np.uint8))
+
+    class FakeParser:
+        def image_names(self):
+            return names
+
+        def image_path(self, name):
+            return img_dir / name
+
+        def prior_inputs(self, name):
+            return {}
+
+    ex = Extraction(
+        {"dense_matcher": "mast3r",
+         "dense_matcher_conf": {**TINY, "weights_path": str(ckpt)}},
+        FakeParser(), tmp_path / "cache",
+    )
+    path = ex.extract_pair_depths([("a.png", "b.png")])
+    got = io.get_mono_map_from_pairs(path, "a.png", [("a.png", "b.png")])
+    assert got is not None and got["depth"].shape == (48, 64)
+    assert (got["depth_variance"] > 0).all()

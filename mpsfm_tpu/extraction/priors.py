@@ -113,6 +113,9 @@ class SyntheticOracleBackend:
 # 384x12); the remaining entries parameterize their own exact nets.
 ARCH_PRESETS = {
     "metric3dv2-giant2": {"encoder": "vit_giant2_reg"},
+    # normals-only variant (reference defaults/*: "metric3dv2-normals" —
+    # normals from the default metric3dv2 without caching its depth)
+    "metric3dv2-normals": {"encoder": "vit_giant2_reg", "normals_only": True},
     "metric3dv2-large": {"encoder": "vit_large_reg"},
     "metric3dv2-small": {"encoder": "vit_small_reg"},
     "depthpro": {"dim": 1024, "depth_blocks": 24, "num_heads": 16, "feat": 256},
@@ -253,6 +256,7 @@ class _Metric3DBackend:
         if self.net.params is None:
             self.net.init_random(0)
         self.flip_consistency = bool(conf.get("flip_consistency", False))
+        self.normals_only = bool(conf.get("normals_only", False))
 
     def __call__(self, image_rgb, intrinsics=None, **kw):
         if intrinsics is None:
@@ -268,6 +272,8 @@ class _Metric3DBackend:
                 "normals2_variance": out2["normals_variance"],
                 "valid2": out2["valid"],
             })
+        if self.normals_only:
+            out = {k: v for k, v in out.items() if k.startswith("normals")}
         return out
 
 
@@ -316,6 +322,7 @@ BACKENDS = {
 
 
 def get_prior_backend(name: str, conf=None):
+    name = str(name).lower()  # reference config names like DSINE-kappa-fc
     if name in BACKENDS:
         return BACKENDS[name](conf)
     if name.startswith("vit_mono"):

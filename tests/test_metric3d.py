@@ -355,3 +355,48 @@ def test_metric3d_backend_wiring(tmp_path):
     be2 = NeuralDepthBackend("metric3dv2-small-fc", {**TINY, "weights_path": str(ckpt)})
     out2 = be2(rgb, intrinsics=(120.0, 120.0, 32.0, 24.0))
     assert "depth2" in out2 and "normals2" in out2
+
+
+def test_metric3dv2_normals_only_and_case_insensitive_names(tmp_path):
+    """Reference config-surface parity: 'metric3dv2-normals' emits only
+    the normals channels (defaults/*.yaml pair it with another depth
+    model) and reference-style capitalized names (DSINE-kappa-fc) route
+    case-insensitively."""
+    from mpsfm_tpu.extraction.nets.metric3d import Metric3Dv2
+    from mpsfm_tpu.extraction.priors import (
+        NeuralDepthBackend,
+        _DSINEBackend,
+        get_prior_backend,
+    )
+
+    src = Metric3Dv2(TINY)
+    src.init_random(4)
+    ckpt = tmp_path / "metric_depth_vit_giant2_800k.pth"
+    torch.save(
+        {k: torch.from_numpy(np.asarray(v).copy()) for k, v in src.params.items()}, ckpt
+    )
+    be = get_prior_backend("metric3dv2-normals", {**TINY, "weights_path": str(ckpt)})
+    rgb = (np.random.default_rng(0).random((40, 56, 3)) * 255).astype(np.uint8)
+    out = be(rgb, intrinsics=(200.0, 200.0, 28.0, 20.0))
+    assert set(out) == {"normals", "normals_variance"}, set(out)
+
+    # capitalized reference naming routes to the DSINE backend class
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_dsine import TINY as DSINE_TINY
+    from mpsfm_tpu.extraction.nets.dsine import DSINE
+
+    dsrc = DSINE(DSINE_TINY)
+    dsrc.init_random(5)
+    dckpt = tmp_path / "dsine.pth"
+    torch.save(
+        {k: torch.from_numpy(np.asarray(v).copy()) for k, v in dsrc.params.items()},
+        dckpt,
+    )
+    be2 = get_prior_backend("DSINE-kappa-fc", {**DSINE_TINY, "weights_path": str(dckpt)})
+    assert isinstance(be2, NeuralDepthBackend)
+    assert isinstance(be2.backend, _DSINEBackend)
+    out2 = be2(rgb, intrinsics=(200.0, 200.0, 28.0, 20.0))
+    assert "normals2" in out2  # -fc flip pass active

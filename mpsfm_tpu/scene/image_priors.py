@@ -421,6 +421,7 @@ class ImagePriors(BaseClass):
         var = varlog * d_prior**2  # var(log d) -> var(d)
         for kp, v in zip(pts2d, var):
             self.depth.uncertainty_update[int(kp)] = float(max(v, 1e-12))
+        self.int_covs_applied = True
         return var
 
     def calculate_int_covs_at_kps(self, pts2d=None):

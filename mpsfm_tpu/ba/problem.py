@@ -257,6 +257,18 @@ def build_ba_data(
                     pc_d_slot=jnp.asarray(pc_d_slot),
                     pc_d_mask=jnp.asarray(pc_d_mask),
                 )
+        elif representation != "sparse":
+            # large-scene single-device path: explicit block-sparse Schur
+            # structure (ba/schur_sparse.py) — 10.6 vs 3.5 LM iters/s at
+            # 512 cams / 131k points (PERF.md round 4). The distributed
+            # solver ("sparse" representation) partitions its own tables.
+            from mpsfm_tpu.ba.schur_sparse import make_block_schur_tables
+
+            bs = make_block_schur_tables(
+                r_pt, r_cam, r_valid, d_pt, d_cam, d_valid, Pb, Cb
+            )
+            if bs is not None:
+                pc = dict(bs=bs)
 
         data = BAData(
             **shared,

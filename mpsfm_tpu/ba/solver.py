@@ -34,6 +34,15 @@ import jax
 import jax.numpy as jnp
 
 from mpsfm_tpu.ba import losses
+from mpsfm_tpu.ba.schur_sparse import (
+    BlockSchurTables,
+    build_schur_blocks,
+    make_block_schur_tables,
+    pm_backsub,
+    pm_coupling_table,
+    pm_reduced_rhs,
+    schur_cg_blocks,
+)
 from mpsfm_tpu.geometry.rotations import quat_mul, quat_normalize, quat_rotate, so3_exp_quat
 
 
@@ -88,6 +97,9 @@ class BAData(NamedTuple):
     pc_r_mask: jnp.ndarray | None = None  # (P, C) f32
     pc_d_slot: jnp.ndarray | None = None  # (P, C) int32 into depth obs
     pc_d_mask: jnp.ndarray | None = None  # (P, C) f32
+    # explicit block-sparse Schur structure for the large-scene path
+    # (ba/schur_sparse.py). Optional: None => matrix-free PCG.
+    bs: "BlockSchurTables | None" = None
 
 
 def make_slot_tables(ids: "np.ndarray", num_segments: int, pad_width: int | None = None):
@@ -677,9 +689,39 @@ def solve_ba(
     def ne_of(quat, t, xyz):
         return _assemble_ne(data, quat, t, xyz, reproj_loss, depth_loss)
 
+    # trace-time path choice: explicit block-sparse Schur for the large
+    # path (ba/schur_sparse.py) — dense-pc path takes precedence
+    use_bs = data.bs is not None and not (
+        data.pc_r_slot is not None and C <= dense_schur_max_cams
+    )
+
+    def hpp_inv_of(Hpp, lam):
+        eye3 = jnp.eye(3, dtype=dtype)
+        frozen_p = 1.0 - data.point_var
+        dp = jnp.einsum("pii->pi", Hpp)
+        return inv3x3(
+            Hpp
+            + jnp.einsum(
+                "pi,ij->pij",
+                lam * dp + 1e-8 + frozen_p[:, None] * jnp.ones(3, dtype),
+                eye3,
+            )
+            * eye3
+        )
+
+    def bs_tables_of(ne, lam):
+        """(Vpm, G) at the given NE/λ — rebuilt only on accepted steps;
+        rejected steps reuse G with the stale λ in its point damping
+        (steps remain LM accept-gated, so a slightly-off S only costs
+        acceptance rate, never correctness)."""
+        _Hcc, Hpp, _g_c, _g_p, Wr_rows, Wd_rows, _T = ne
+        Vpm = pm_coupling_table(Wr_rows, Wd_rows, data.bs)
+        G = build_schur_blocks(Vpm, hpp_inv_of(Hpp, lam), data.bs)
+        return Vpm, G
+
     def step(carry):
         (it, quat, t, xyz, lam, cost, done, accepted, ne, rhs0_norm, hist, cg_hist,
-         delta_prev) = carry
+         delta_prev, bs_cache) = carry
         # ne holds the normal-equation products at the CURRENT state; they
         # are lambda-independent, so rejected steps reuse them and only the
         # (cheap) augmented solve + residual-only trial cost re-runs.
@@ -690,20 +732,28 @@ def solve_ba(
 
         # LM augmentation (Marquardt scaling) + identity rows for frozen dims.
         dc = jnp.einsum("cii->ci", Hcc)
-        dp = jnp.einsum("pii->pi", Hpp)
         eye6 = jnp.eye(6, dtype=dtype)
-        eye3 = jnp.eye(3, dtype=dtype)
         frozen_c = 1.0 - data.cam_dof  # (C,6)
         Hcc_aug = Hcc + jnp.einsum("ci,ij->cij", lam * dc + 1e-8 + frozen_c, eye6) * eye6
-        frozen_p = 1.0 - data.point_var
-        Hpp_aug = Hpp + jnp.einsum("pi,ij->pij", lam * dp + 1e-8 + frozen_p[:, None] * jnp.ones(3, dtype), eye3) * eye3
-        Hpp_inv = inv3x3(Hpp_aug)
+        Hpp_inv = hpp_inv_of(Hpp, lam)
 
-        # Reduced RHS: -(g_c − W Hpp⁻¹ g_p)
-        hp = jnp.einsum("pij,pj->pi", Hpp_inv, g_p)  # (P,3)
-        red_r = (Wr * hp[data.r_pt][:, None, :]).sum(-1).reshape(C, -1, 6).sum(1)
-        red_d = (Wd * hp[data.d_pt][:, None, :]).sum(-1).reshape(C, -1, 6).sum(1)
-        rhs = -(g_c - red_r - red_d)
+        # Explicit block-sparse S path (ba/schur_sparse.py): the
+        # covisibility blocks G and the pm coupling table live in the
+        # loop carry and are rebuilt only on accepted steps; CG runs on
+        # the tiny explicit structure (µs/iteration instead of two
+        # all-observation gathers). rhs + back-substitution run in the
+        # SAME point-major layout so the W tables have one consumer
+        # access pattern (layout conflicts were measured to 2.5x the
+        # iteration cost).
+        if use_bs:
+            Vpm, G = bs_cache
+            rhs, hp = pm_reduced_rhs(Vpm, Hpp_inv, g_c, g_p, data.bs)
+        else:
+            # Reduced RHS: -(g_c − W Hpp⁻¹ g_p)
+            hp = jnp.einsum("pij,pj->pi", Hpp_inv, g_p)  # (P,3)
+            red_r = (Wr * hp[data.r_pt][:, None, :]).sum(-1).reshape(C, -1, 6).sum(1)
+            red_d = (Wd * hp[data.d_pt][:, None, :]).sum(-1).reshape(C, -1, 6).sum(1)
+            rhs = -(g_c - red_r - red_d)
 
         # Dense reduced system when the pc-slot coupling table exists and
         # the 6Cx6C system is small; matrix-free PCG otherwise. Shapes are
@@ -712,6 +762,15 @@ def solve_ba(
         rhs0_norm = jnp.where(rhs0_norm < 0, rhs_norm, rhs0_norm)
         if T is not None and C <= dense_schur_max_cams:
             delta_c, cg_used = _dense_schur_solve(T, Hcc_aug, Hpp_inv, rhs)
+        elif use_bs:
+            tol_eff = jnp.clip(
+                jnp.sqrt(rhs_norm / jnp.maximum(rhs0_norm, 1e-30)), 1e-4, cg_tol
+            )
+            # explicit-block CG iterations are ~µs — let it run further
+            # than the gather-bound matrix-free budget
+            delta_c, cg_used = schur_cg_blocks(
+                G, data.bs, Hcc_aug, rhs, max(cg_iters, 64), tol_eff, x0=delta_prev
+            )
         else:
             tol_eff = jnp.clip(
                 jnp.sqrt(rhs_norm / jnp.maximum(rhs0_norm, 1e-30)), 1e-4, cg_tol
@@ -723,11 +782,14 @@ def solve_ba(
         delta_c = delta_c * data.cam_dof
 
         # Back-substitution: Δp = −Hpp⁻¹ (g_p + Wᵀ Δc)
-        wtd_r = (Wr * _cam_broadcast_rows(delta_c, No)[:, :, None]).sum(1)  # (No,3)
-        wtd_d = (Wd * _cam_broadcast_rows(delta_c, Nd)[:, :, None]).sum(1)
-        wtd = (wtd_r[data.r_pt_slots] * data.r_pt_slot_mask[..., None]).sum(1)
-        wtd = wtd + (wtd_d[data.d_pt_slots] * data.d_pt_slot_mask[..., None]).sum(1)  # (P,3)
-        delta_p = -jnp.einsum("pij,pj->pi", Hpp_inv, g_p + wtd) * data.point_var[:, None]
+        if use_bs:
+            delta_p = pm_backsub(Vpm, Hpp_inv, g_p, delta_c, data.point_var, data.bs)
+        else:
+            wtd_r = (Wr * _cam_broadcast_rows(delta_c, No)[:, :, None]).sum(1)  # (No,3)
+            wtd_d = (Wd * _cam_broadcast_rows(delta_c, Nd)[:, :, None]).sum(1)
+            wtd = (wtd_r[data.r_pt_slots] * data.r_pt_slot_mask[..., None]).sum(1)
+            wtd = wtd + (wtd_d[data.d_pt_slots] * data.d_pt_slot_mask[..., None]).sum(1)  # (P,3)
+            delta_p = -jnp.einsum("pij,pj->pi", Hpp_inv, g_p + wtd) * data.point_var[:, None]
 
         quat_new, t_new = _apply_cam_update(quat, t, delta_c)
         xyz_new = xyz + delta_p
@@ -744,12 +806,20 @@ def solve_ba(
         cost = jnp.where(take, new_cost, cost)
         accepted = accepted + take.astype(jnp.int32)
         ne = jax.lax.cond(take, lambda: ne_of(quat, t, xyz), lambda: ne)
+        if use_bs:
+            bs_cache = jax.lax.cond(
+                take, lambda: bs_tables_of(ne, lam), lambda: bs_cache
+            )
         hist = hist.at[it].set(cost)
         cg_hist = cg_hist.at[it].set(cg_used)
         return (it + 1, quat, t, xyz, lam, cost, done, accepted, ne, rhs0_norm, hist,
-                cg_hist, delta_c)
+                cg_hist, delta_c, bs_cache)
 
     cost0 = cost_of(data.quat, data.t, data.xyz)
+    ne0 = ne_of(data.quat, data.t, data.xyz)
+    bs_cache0 = (
+        bs_tables_of(ne0, jnp.asarray(lm_lambda0, dtype)) if use_bs else jnp.zeros((), dtype)
+    )
     init = (
         jnp.asarray(0, jnp.int32),
         data.quat,
@@ -759,16 +829,17 @@ def solve_ba(
         cost0,
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
-        ne_of(data.quat, data.t, data.xyz),
+        ne0,
         jnp.asarray(-1.0, dtype),
         jnp.full((max_iters,), cost0, dtype),
         jnp.zeros((max_iters,), jnp.int32),
         jnp.zeros((C, 6), dtype),
+        bs_cache0,
     )
     # while_loop (not scan): converged solves exit early instead of paying
     # the remaining iterations' trial-cost evaluations.
     (_it, quat, t, xyz, lam, cost, done, accepted, _ne, _r0, cost_hist, cg_hist,
-     _dp) = jax.lax.while_loop(
+     _dp, _bs) = jax.lax.while_loop(
         lambda c: (c[0] < max_iters) & ~c[6], step, init
     )
     info = {

@@ -43,7 +43,12 @@ def chain(f):
     def run(data, eps0):
         def body(eps, _):
             out = f(data, eps)
-            s = jnp.asarray(jax.tree_util.tree_leaves(out)[0], jnp.float32).ravel()[0]
+            # consume EVERY output leaf so XLA can't DCE the unused ones
+            s = sum(
+                jnp.asarray(l, jnp.float32).ravel()[0]
+                for l in jax.tree_util.tree_leaves(out)
+                if l is not None
+            )
             return eps + 1e-20 * s, s
 
         _eps, ss = jax.lax.scan(body, eps0, None, length=R)
@@ -59,7 +64,7 @@ def main():
     RL, DL = losses.SOFT_L1, losses.CAUCHY
 
     timed("cost_only", chain(lambda d, e: _cost_only(d, d.quat + e, d.t, d.xyz, RL, DL)), data, jnp.asarray(0.0, jnp.float32))
-    timed("assemble_ne", chain(lambda d, e: _assemble_ne(d, d.quat + e, d.t, d.xyz, RL, DL)[0]), data, jnp.asarray(0.0, jnp.float32))
+    timed("assemble_ne (all outputs)", chain(lambda d, e: _assemble_ne(d, d.quat + e, d.t, d.xyz, RL, DL)), data, jnp.asarray(0.0, jnp.float32))
 
     # build NE once for the solve-phase benches
     ne = jax.jit(lambda d: _assemble_ne(d, d.quat, d.t, d.xyz, RL, DL))(data)

@@ -327,3 +327,101 @@ def test_pallas_cholesky_solve_interpret(rng):
         b = rng.normal(size=(K,)).astype(np.float32)
         x = np.asarray(cholesky_solve(jnp.asarray(S), jnp.asarray(b), interpret=True))
         np.testing.assert_allclose(x, np.linalg.solve(S, b), atol=1e-4)
+
+
+def test_block_schur_explicit_matches_matrix_free(rng):
+    """Explicit block-sparse Schur (ba/schur_sparse.py): the explicit
+    operator equals the matrix-free S·x, and the full LM solve reaches
+    the same optimum as the matrix-free path (Ceres SPARSE_SCHUR analog,
+    reference bundle_adjustment.py:285-293)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_ba_data_sparse
+    from mpsfm_tpu.ba import losses
+    from mpsfm_tpu.ba.schur_sparse import (
+        block_schur_matvec,
+        build_schur_blocks,
+        pm_backsub,
+        pm_coupling_table,
+        pm_reduced_rhs,
+    )
+    from mpsfm_tpu.ba.solver import _assemble_ne, _cam_broadcast_rows, inv3x3
+
+    data = _synthetic_ba_data_sparse(n_cams=12, n_pts=512, track_len=4)
+    bs = data.bs
+    assert bs is not None
+    C = 12
+    ne = jax.jit(
+        lambda d: _assemble_ne(d, d.quat, d.t, d.xyz, losses.SOFT_L1, losses.CAUCHY)
+    )(data)
+    Hcc, Hpp, g_c, g_p, Wr_rows, Wd_rows, _T = ne
+    No, Nd = Wr_rows.shape[0], Wd_rows.shape[0]
+    lam = 3e-3
+    dtype = Hcc.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+    dp = jnp.einsum("pii->pi", Hpp)
+    Hpp_inv = jax.jit(inv3x3)(Hpp + jnp.einsum("pi,ij->pij", lam * dp + 1e-8, eye3) * eye3)
+    dc = jnp.einsum("cii->ci", Hcc)
+    Hcc_aug = Hcc + jnp.einsum("ci,ij->cij", lam * dc + 1e-8 + (1 - data.cam_dof), eye6) * eye6
+
+    Vpm = jax.jit(pm_coupling_table)(Wr_rows, Wd_rows, bs)
+    G = jax.jit(build_schur_blocks)(Vpm, Hpp_inv, bs)
+    Wr = Wr_rows.reshape(No, 6, 3)
+    Wd = Wd_rows.reshape(Nd, 6, 3)
+
+    def S_mv_free(x):
+        y_r = (Wr * _cam_broadcast_rows(x, No)[:, :, None]).sum(1)
+        y_d = (Wd * _cam_broadcast_rows(x, Nd)[:, :, None]).sum(1)
+        yp = (y_r[data.r_pt_slots] * data.r_pt_slot_mask[..., None]).sum(1)
+        yp = yp + (y_d[data.d_pt_slots] * data.d_pt_slot_mask[..., None]).sum(1)
+        zp = jnp.einsum("pij,pj->pi", Hpp_inv, yp)
+        back_r = (Wr * zp[data.r_pt][:, None, :]).sum(-1)
+        back_d = (Wd * zp[data.d_pt][:, None, :]).sum(-1)
+        back = back_r.reshape(C, -1, 6).sum(1) + back_d.reshape(C, -1, 6).sum(1)
+        return jnp.einsum("cij,cj->ci", Hcc_aug, x) - back
+
+    x = jnp.asarray(rng.normal(size=(C, 6)).astype(np.float32))
+    y_free = np.asarray(jax.jit(S_mv_free)(x))
+    y_exp = np.asarray(jax.jit(lambda x: block_schur_matvec(G, bs, Hcc_aug, x))(x))
+    # bf16 pair products: ~1% relative agreement is the expected scale
+    assert np.abs(y_exp - y_free).max() <= 2e-2 * np.abs(y_free).max() + 1e-4
+
+    # rhs + backsub parity vs the observation-table formulation
+    rhs_pm, hp = jax.jit(lambda: pm_reduced_rhs(Vpm, Hpp_inv, g_c, g_p, bs))()
+    hp2 = jnp.einsum("pij,pj->pi", Hpp_inv, g_p)
+    red_r = (Wr * hp2[data.r_pt][:, None, :]).sum(-1).reshape(C, -1, 6).sum(1)
+    red_d = (Wd * hp2[data.d_pt][:, None, :]).sum(-1).reshape(C, -1, 6).sum(1)
+    rhs_ref = -(g_c - red_r - red_d)
+    a, b = np.asarray(rhs_pm), np.asarray(rhs_ref)
+    assert np.abs(a - b).max() <= 1e-5 * np.abs(b).max() + 1e-3
+
+    dc_step = jnp.asarray(rng.normal(size=(C, 6)).astype(np.float32) * 1e-3)
+    dp_pm = np.asarray(jax.jit(
+        lambda: pm_backsub(Vpm, Hpp_inv, g_p, dc_step, data.point_var, bs)
+    )())
+    wtd_r = (Wr * _cam_broadcast_rows(dc_step, No)[:, :, None]).sum(1)
+    wtd_d = (Wd * _cam_broadcast_rows(dc_step, Nd)[:, :, None]).sum(1)
+    wtd = (wtd_r[data.r_pt_slots] * data.r_pt_slot_mask[..., None]).sum(1)
+    wtd = wtd + (wtd_d[data.d_pt_slots] * data.d_pt_slot_mask[..., None]).sum(1)
+    dp_ref = np.asarray(
+        -jnp.einsum("pij,pj->pi", Hpp_inv, g_p + wtd) * data.point_var[:, None]
+    )
+    assert np.abs(dp_pm - dp_ref).max() <= 1e-5 * np.abs(dp_ref).max() + 1e-5
+
+
+def test_block_schur_full_solve_parity(rng):
+    """Full LM solve via the explicit path reaches the matrix-free
+    optimum (same final cost within fp noise)."""
+    from __graft_entry__ import _synthetic_ba_data_sparse
+    from mpsfm_tpu.ba.solver import solve_ba
+
+    d_bs = _synthetic_ba_data_sparse(n_cams=16, n_pts=1024, track_len=4, seed=1)
+    assert d_bs.bs is not None
+    d_mf = d_bs._replace(bs=None)
+    _q1, _t1, _x1, i1 = solve_ba(d_bs, max_iters=10)
+    _q2, _t2, _x2, i2 = solve_ba(d_mf, max_iters=10)
+    c1, c2 = float(i1["cost"]), float(i2["cost"])
+    assert c1 < float(i1["cost0"]) * 0.1
+    assert abs(c1 - c2) < 0.02 * c2 + 1e-3

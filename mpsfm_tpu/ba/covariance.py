@@ -102,7 +102,13 @@ def calculate_point_covs(rec, problem, max_cams_dense: int = 512):
 
     if problem.n_cams > max_cams_dense:
         raise ValueError(f"dense covariance limited to {max_cams_dense} cams")
-    cov = np.asarray(point_covariances(problem.data), np.float64)
+    cov_dev = point_covariances(problem.data)  # async dispatch
+    pend = getattr(rec.point_covs, "set_pending", None)
+    if pend is not None:
+        # defer the device->host read to the first access (LazyCovDict)
+        pend(cov_dev, [int(p) for p in problem.pt_ids])
+        return cov_dev
+    cov = np.asarray(cov_dev, np.float64)
     for i, pid in enumerate(problem.pt_ids):
         rec.point_covs[int(pid)] = cov[i]
     return cov

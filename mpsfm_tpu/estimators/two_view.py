@@ -176,8 +176,15 @@ def estimate_two_view_geometry_batch(
             m = len(matches)
             p1 = kps1[matches[:, 0]]
             p2 = kps2[matches[:, 1]]
-            xy1[j, :m] = np.asarray(cam_from_img(cam1, jnp.asarray(p1, jnp.float32)))
-            xy2[j, :m] = np.asarray(cam_from_img(cam2, jnp.asarray(p2, jnp.float32)))
+            # host numpy normalization — an eager jnp cam_from_img here is
+            # a per-pair device round-trip (~0.5-1 s each on the tunnel;
+            # was ~96 s per populate on the 66-pair bench scene)
+            c1x, c1y = float(cam1.cx), float(cam1.cy)
+            c2x, c2y = float(cam2.cx), float(cam2.cy)
+            xy1[j, :m, 0] = (p1[:, 0] - c1x) / float(cam1.fx)
+            xy1[j, :m, 1] = (p1[:, 1] - c1y) / float(cam1.fy)
+            xy2[j, :m, 0] = (p2[:, 0] - c2x) / float(cam2.fx)
+            xy2[j, :m, 1] = (p2[:, 1] - c2y) / float(cam2.fy)
             valid[j, :m] = True
             f1 = 0.5 * (float(cam1.fx) + float(cam1.fy))
             f2 = 0.5 * (float(cam2.fx) + float(cam2.fy))

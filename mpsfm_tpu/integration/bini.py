@@ -270,43 +270,59 @@ def _unpack(packed) -> BiniInputs:
 # carry out-of-range pixel coordinates and are dropped by the scatter.
 
 
-def _assemble_from_anchors(anch1, z0, stat8):
+def _assemble_from_anchors(anch1, z0, stat8, cov):
     """One image: full 11 transport rows from packed anchors + cached
-    z0/static rows. anch1 (5,Ka) float32: [y, x, prec, logz,
-    shifts([4,0]=z0 log-shift, [4,1]=prior log-shift)]; out-of-range
-    coords mark padding (dropped by the scatter). The prior shift moves
-    z_prior by log(s) — the prior precision is scale-invariant in
-    log-depth, so pure rescales never re-upload the prior rows."""
+    z0/static rows. anch1 (6,Ka) float32:
+      [0] y  [1] x  [2] val  [3] logz  [4] slot code
+      [5] meta: [5,0]=z0 log-shift, [5,1]=prior log-shift, [5,2:5]=R2
+    Slot codes (per anchor): >=0 -> val is the anchor DEPTH and its
+    log-depth precision is d²/zvar with zvar = R2 · cov[slot] · R2ᵀ from
+    the device-resident point-covariance array (no host fetch of the BA
+    covariances — PERF.md round 4); -1 -> default covariance eye*1e-2
+    (zvar 1e-2); -2 -> val IS the precision (host-computed fallback).
+    Out-of-range coords mark padding (dropped by the scatter). The prior
+    shift moves z_prior by log(s) — the prior precision is
+    scale-invariant in log-depth, so pure rescales never re-upload the
+    prior rows."""
     H, W = z0.shape
     ay = anch1[0].astype(jnp.int32)
     ax = anch1[1].astype(jnp.int32)
-    prec_sparse = jnp.zeros((H, W), z0.dtype).at[ay, ax].max(anch1[2], mode="drop")
+    slot = anch1[4].astype(jnp.int32)
+    covsel = cov[jnp.clip(slot, 0, cov.shape[0] - 1)]  # (Ka,3,3)
+    R2 = anch1[5, 2:5]
+    zvar = jnp.clip(jnp.einsum("i,kij,j->k", R2, covsel, R2), 1e-12, None)
+    d2 = anch1[2] * anch1[2]
+    prec = jnp.where(
+        slot >= 0, d2 / zvar, jnp.where(slot == -1, d2 / 1e-2, anch1[2])
+    )
+    prec_sparse = jnp.zeros((H, W), z0.dtype).at[ay, ax].max(prec, mode="drop")
     z_sparse = jnp.zeros((H, W), z0.dtype).at[ay, ax].set(anch1[3], mode="drop")
-    dyn = jnp.stack([z0 + anch1[4, 0], prec_sparse, z_sparse])
-    stat = jnp.concatenate([stat8[0:1], stat8[1:2] + anch1[4, 1], stat8[2:]], 0)
+    dyn = jnp.stack([z0 + anch1[5, 0], prec_sparse, z_sparse])
+    stat = jnp.concatenate([stat8[0:1], stat8[1:2] + anch1[5, 1], stat8[2:]], 0)
     return jnp.concatenate([dyn, stat], 0)
 
 
-def _assemble_batch_anchors(anch, pairs):
+def _assemble_batch_anchors(anch, cov, pairs):
     return jnp.stack(
-        [_assemble_from_anchors(anch[b], *pairs[b]) for b in range(len(pairs))]
+        [_assemble_from_anchors(anch[b], *pairs[b], cov) for b in range(len(pairs))]
     )
 
 
 @partial(jax.jit, static_argnames=("p",))
-def bini_energy_batch_anchors(anch, p: BiniParams, *pairs):
-    """(energies (B,), packed (B,11,H,W)). anch (B,5,Ka) float32 packed
-    anchor rows [y, x, prec, logz, shift] — the ONLY per-call upload;
+def bini_energy_batch_anchors(anch, p: BiniParams, cov, *pairs):
+    """(energies (B,), packed (B,11,H,W)). anch (B,6,Ka) float32 packed
+    anchor rows (see _assemble_from_anchors) — the ONLY per-call upload;
+    cov (Pc,3,3) device point covariances (dummy (1,3,3) when unused);
     pairs = B × (z0 (H,W), stat8 (8,H,W)) cached device arrays."""
-    packed = _assemble_batch_anchors(anch, pairs)
+    packed = _assemble_batch_anchors(anch, cov, pairs)
     return jax.vmap(lambda q: _energy_at_z0(_unpack(q), p))(packed), packed
 
 
 @partial(jax.jit, static_argnames=("p", "chunk"))
-def diag_inverse_at_batch_anchors(anch, rowcol, p: BiniParams, chunk: int, *pairs):
+def diag_inverse_at_batch_anchors(anch, rowcol, p: BiniParams, chunk: int, cov, *pairs):
     """Anchor-transport variant of diag_inverse_at_batch; rowcol (B,2,Kp)
     int32 query coordinates."""
-    packed = _assemble_batch_anchors(anch, pairs)
+    packed = _assemble_batch_anchors(anch, cov, pairs)
     return jax.vmap(
         lambda q, rc: _diag_inverse_at_impl(_unpack(q), p, q[0], rc[0], rc[1], chunk)
     )(packed, rowcol)

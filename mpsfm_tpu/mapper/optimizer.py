@@ -229,11 +229,15 @@ class Optimizer(BaseClass):
             return self._calculate_point_covs(bundle)
 
     def _calculate_point_covs(self, bundle):
-        prob = build_ba_data(
-            self.rec, bundle, mode="global", use_depth=False, representation="sparse"
-        )
+        from mpsfm_tpu.utils.profiling import TIMERS
+
+        with TIMERS.phase("point_covs.build"):
+            prob = build_ba_data(
+                self.rec, bundle, mode="global", use_depth=False, representation="sparse"
+            )
         try:
-            _calc_covs(self.rec, prob)
+            with TIMERS.phase("point_covs.device"):
+                _calc_covs(self.rec, prob)
         except ValueError:
             # too many cameras for the dense reduced system: fall back to
             # per-point Hpp⁻¹ (ignores pose uncertainty)

@@ -266,9 +266,11 @@ def run_ransac_homography_pose(xy1n, xy2n, thresh_norm_sq, num_hyp=512, seed=0, 
     xy1_in = np.asarray(xy1n)[inl]
     xy2_in = np.asarray(xy2n)[inl]
     for R, t, nvec in decompose_homography_np(H):
-        from mpsfm_tpu.geometry.rotations import matrix_to_quat
-
-        q = np.asarray(matrix_to_quat(jnp.asarray(R)), np.float64)
+        # _matrix_to_quat_np, NOT the jnp version: an eager jnp call here
+        # is a per-decomposition device round-trip (~100 ms each on the
+        # tunnel — was 5.2 s of the 12-attempt init search on the
+        # planar bench scene)
+        q = _matrix_to_quat_np(R)
         pose = Pose(q, t.astype(np.float64))
         if len(xy1_in) == 0:
             votes = 0
@@ -407,6 +409,7 @@ class Registration(BaseClass):
         f1 = cam1.mean_focal()
         f2 = cam2.mean_focal()
         e_thr = (0.5 * (self.conf.rel_pose_max_error / f1 + self.conf.rel_pose_max_error / f2)) ** 2
+        from mpsfm_tpu.utils.profiling import TIMERS
         if planar:
             # Essential estimation degenerates on (near-)planar pairs; use
             # the H-decomposition pose for the relative-pose branch, with
@@ -416,14 +419,16 @@ class Registration(BaseClass):
             if normals is not None:
                 n = np.asarray(normals.data)
                 prior_normal = np.median(n.reshape(-1, 3), axis=0)
-            E_info = run_ransac_homography_pose(
-                xy1n_all[m1], xy2n_all[m2], e_thr, self.conf.num_hyp, self._next_seed(),
-                prior_normal=prior_normal,
-            )
+            with TIMERS.phase("init.ransac_h"):
+                E_info = run_ransac_homography_pose(
+                    xy1n_all[m1], xy2n_all[m2], e_thr, self.conf.num_hyp, self._next_seed(),
+                    prior_normal=prior_normal,
+                )
         else:
-            E_info = run_ransac_essential(
-                xy1n_all[m1], xy2n_all[m2], e_thr, self.conf.num_hyp, self._next_seed()
-            )
+            with TIMERS.phase("init.ransac_e"):
+                E_info = run_ransac_essential(
+                    xy1n_all[m1], xy2n_all[m2], e_thr, self.conf.num_hyp, self._next_seed()
+                )
         inlier_matches = matches[E_info["inlier_mask"]]
 
         pose1 = Pose.identity()
@@ -448,9 +453,10 @@ class Registration(BaseClass):
                 ap_thr = (
                     0.5 * (self.conf.abs_pose_max_error / f1 + self.conf.abs_pose_max_error / f2)
                 ) ** 2
-                AP_info = run_ransac_pnp(
-                    lifted3d[vm[:, 0]], xy2n_all[vm[:, 1]], ap_thr, self.conf.num_hyp, self._next_seed()
-                )
+                with TIMERS.phase("init.ransac_pnp"):
+                    AP_info = run_ransac_pnp(
+                        lifted3d[vm[:, 0]], xy2n_all[vm[:, 1]], ap_thr, self.conf.num_hyp, self._next_seed()
+                    )
 
         if AP_info is None:
             high_parallax = True
@@ -666,6 +672,11 @@ class Registration(BaseClass):
         return True
 
     def register_and_triangulate_next_image(self, imid, ref_imids=None):
-        if not self.register_next_image(imid, ref_imids=ref_imids):
+        from mpsfm_tpu.utils.profiling import TIMERS
+
+        with TIMERS.phase("reg.next_image"):
+            ok = self.register_next_image(imid, ref_imids=ref_imids)
+        if not ok:
             return False
-        return self.triangulator.triangulate_image(imid)
+        with TIMERS.phase("reg.triangulate"):
+            return self.triangulator.triangulate_image(imid)

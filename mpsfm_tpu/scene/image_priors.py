@@ -117,8 +117,7 @@ class ImagePriors(BaseClass):
         pids, grid_px, depth3d = pids[inb], grid_px[inb], depth3d[inb]
         if len(pids) == 0:
             return None
-        zvars = self._point_zvars(pids)
-        return grid_px, depth3d, zvars
+        return grid_px, depth3d, pids
 
     def _point_zvars(self, pids):
         """z-variance of points in this camera: (Rᵀ Σ R)[2,2]
@@ -129,6 +128,14 @@ class ImagePriors(BaseClass):
             [rec.point_covs.get(int(p), np.eye(3) * 1e-2) for p in pids]
         )
         return np.einsum("i,nij,j->n", R[2], covs, R[2]).clip(1e-12, None)
+
+    def _R2(self):
+        """Third world->cam rotation row for device-side z-variance; [0,0,1]
+        when the image has no pose yet (anchors then carry host codes)."""
+        pose = self.rec.images[self.imid].pose
+        if pose is None:
+            return np.array([0.0, 0.0, 1.0])
+        return pose.rotation_matrix()[2]
 
     def _grid_K(self):
         cam = self.rec.camera(self.imid)
@@ -141,7 +148,8 @@ class ImagePriors(BaseClass):
         anchors = self._sparse_anchors()
         kw = {}
         if anchors is not None:
-            px, d3, zv = anchors
+            px, d3, pids = anchors
+            zv = self._point_zvars(pids)
             kw = dict(sparse_px=px / downscale, sparse_depth=d3, sparse_zvar=zv)
         if downscale > 1:
             from mpsfm_tpu.utils.interp import resize_bilinear
@@ -245,14 +253,22 @@ class ImagePriors(BaseClass):
         return dev, 0.0
 
     def _anchor_payload(self, downscale=1):
-        """Host (L,4) float32 anchor rows [y, x, prec(log-depth), logz]
-        after the prior scale filter (reference process_sparse_depth,
+        """Host (L,5) float32 anchor rows [y, x, val, logz, slot] after
+        the prior scale filter (reference process_sparse_depth,
         integration.py:281-288) — the only per-call transport besides the
-        cached device rows."""
+        cached device rows.
+
+        Slot semantics (bini._assemble_from_anchors): when the BA point
+        covariances live on device (LazyCovDict.device_view), val is the
+        anchor depth and slot indexes the device cov array — the anchor
+        precision d²/zvar is computed IN-PROGRAM, so the covariance
+        dispatch is never read back to the host on this path. slot=-1
+        falls back to the default cov (eye*1e-2); slot=-2 means val is a
+        host-computed precision."""
         anchors = self._sparse_anchors()
         if anchors is None:
-            return np.zeros((0, 4), np.float32)
-        px, d3, zv = anchors
+            return np.zeros((0, 5), np.float32)
+        px, d3, pids = anchors
         px = px / downscale
         dp, _ = self._prior_dp_du(downscale)
         H, W = dp.shape
@@ -265,11 +281,31 @@ class ImagePriors(BaseClass):
             keep &= (div < self.conf.scale_filter_factor) & (
                 div > 1 / self.conf.scale_filter_factor
             )
-        xs, ys, d3 = xs[keep], ys[keep], d3[keep]
-        zv = np.clip(np.asarray(zv, np.float64)[keep], 1e-12, None)
-        prec = (1.0 / zv) * d3**2
+        xs, ys, d3, pids = xs[keep], ys[keep], d3[keep], np.asarray(pids)[keep]
         logz = np.log(np.clip(d3, 1e-8, None))
-        return np.stack([ys, xs, prec, logz], -1).astype(np.float32)
+        covdict = self.rec.point_covs
+        view = getattr(covdict, "device_view", lambda: None)()
+        if view is not None:
+            _dev, slotmap = view
+            L = len(pids)
+            vals = np.asarray(d3, np.float64).copy()
+            slots = np.full(L, -1.0)
+            R2 = self._R2()
+            for i, p in enumerate(pids):
+                s = slotmap.get(int(p), -1)
+                if s >= 0:
+                    slots[i] = s
+                else:
+                    raw = dict.get(covdict, int(p))  # built-in get: no flush
+                    if raw is not None:
+                        zv = max(float(R2 @ raw @ R2), 1e-12)
+                        vals[i] = d3[i] ** 2 / zv
+                        slots[i] = -2.0
+            return np.stack([ys, xs, vals, logz, slots], -1).astype(np.float32)
+        zv = np.clip(self._point_zvars(pids), 1e-12, None)
+        prec = (1.0 / zv) * d3**2
+        slots = np.full(len(d3), -2.0)
+        return np.stack([ys, xs, prec, logz, slots], -1).astype(np.float32)
 
     def _z0_shift_dev(self, downscale=1):
         """(z0_dev (H,W), shift): cached device working log-depth plus the
@@ -339,8 +375,9 @@ class ImagePriors(BaseClass):
         if ignore_depths:
             params = params._replace(lambda2=0.0)
         h, w = stat8.shape[-2:]
+        R2 = self._R2()
         anch = _pack_anchors(
-            [(pl, z0_shift, prior_shift)], (h, w), 1, _pow2(max(len(pl), 1), 64)
+            [(pl, z0_shift, prior_shift, R2)], (h, w), 1, _pow2(max(len(pl), 1), 64)
         )
         if estimator == "subsampled":
             ys = np.arange(0, h, stride, dtype=np.int32)
@@ -357,7 +394,8 @@ class ImagePriors(BaseClass):
             rowcol[0, 1, :Kq] = gx.reshape(-1)
             sub = np.asarray(
                 diag_inverse_at_batch_anchors(
-                    jnp.asarray(anch), jnp.asarray(rowcol), params, 128, (z0, stat8)
+                    jnp.asarray(anch), jnp.asarray(rowcol), params, 128,
+                    _cov_dev_or_dummy(self.rec), (z0, stat8)
                 )
             )[0, :Kq].reshape(len(ys), len(xs))
             # exact values on a non-uniform stride grid -> full grid via
@@ -384,7 +422,8 @@ class ImagePriors(BaseClass):
             rowcol[0, 1, :Kq] = xx.reshape(-1)
             varlog = np.asarray(
                 diag_inverse_at_batch_anchors(
-                    jnp.asarray(anch), jnp.asarray(rowcol), params, 128, (z0, stat8)
+                    jnp.asarray(anch), jnp.asarray(rowcol), params, 128,
+                    _cov_dev_or_dummy(self.rec), (z0, stat8)
                 )
             )[0, :Kq].reshape(h, w)
         if ds > 1:
@@ -411,8 +450,9 @@ class ImagePriors(BaseClass):
         h, w = stat8.shape[-2:]
         gx = np.clip(np.round(kps_sel[:, 0] * cam.sx / ds).astype(np.int32), 0, w - 1)
         gy = np.clip(np.round(kps_sel[:, 1] * cam.sy / ds).astype(np.int32), 0, h - 1)
+        R2 = self._R2()
         return (
-            (pl, z0_shift, prior_shift, (z0, stat8)),
+            (pl, z0_shift, prior_shift, R2, (z0, stat8)),
             gy, gx, len(gx), kps_sel, np.asarray(pts2d), params,
         )
 
@@ -429,7 +469,7 @@ class ImagePriors(BaseClass):
         (reference calculate_int_covs_at_kps, integration.py:604-616)."""
         from mpsfm_tpu.integration.bini import diag_inverse_at_batch_anchors
 
-        (pl, z0_shift, prior_shift, pair), gy, gx, K, kps_sel, pts2d, params = (
+        (pl, z0_shift, prior_shift, R2, pair), gy, gx, K, kps_sel, pts2d, params = (
             self._int_cov_query(pts2d)
         )
         # power-of-two buckets: distinct keypoint/anchor counts share one
@@ -439,13 +479,25 @@ class ImagePriors(BaseClass):
         rowcol = np.zeros((1, 2, Kp), np.int32)
         rowcol[0, 0, :K], rowcol[0, 1, :K] = gy, gx
         shape = tuple(pair[1].shape[-2:])
-        anch = _pack_anchors([(pl, z0_shift, prior_shift)], shape, 1, _pow2(max(len(pl), 1), 64))
+        anch = _pack_anchors(
+            [(pl, z0_shift, prior_shift, R2)], shape, 1, _pow2(max(len(pl), 1), 64)
+        )
         varlog = np.asarray(
             diag_inverse_at_batch_anchors(
-                jnp.asarray(anch), jnp.asarray(rowcol), params, 128, pair
+                jnp.asarray(anch), jnp.asarray(rowcol), params, 128,
+                _cov_dev_or_dummy(self.rec), pair
             )
         )[0, :K]
         return self._apply_int_covs(varlog, kps_sel, pts2d)
+
+
+def _cov_dev_or_dummy(rec):
+    """Device point-covariance array for the anchor path ((1,3,3) dummy
+    when no dispatch exists — all anchor slots are then -1/-2)."""
+    view = getattr(rec.point_covs, "device_view", lambda: None)()
+    if view is None:
+        return jnp.eye(3, dtype=jnp.float32)[None] * 1e-2
+    return view[0]
 
 
 def _pow2(n: int, base: int = 1) -> int:
@@ -457,22 +509,25 @@ def _pow2(n: int, base: int = 1) -> int:
 
 
 def _pack_anchors(pl_shift, shape, B0, Ka):
-    """(B0,5,Ka) float32 anchor transport rows [y, x, prec, logz,
-    shifts(in [4,0]=z0 shift, [4,1]=prior shift)] from
-    [(payload (L,4), z0_shift, prior_shift), ...]; padded slots get
+    """(B0,6,Ka) float32 anchor transport rows [y, x, val, logz, slot,
+    meta([5,0]=z0 shift, [5,1]=prior shift, [5,2:5]=R2)] from
+    [(payload (L,5), z0_shift, prior_shift, R2), ...]; padded slots get
     out-of-range y so the device scatter drops them."""
     H = shape[0]
-    anch = np.zeros((B0, 5, Ka), np.float32)
+    anch = np.zeros((B0, 6, Ka), np.float32)
     anch[:, 0, :] = float(H)
-    for b, (pl, z0_shift, prior_shift) in enumerate(pl_shift):
+    anch[:, 4, :] = -1.0
+    for b, (pl, z0_shift, prior_shift, R2) in enumerate(pl_shift):
         L = len(pl)
         if L:
             anch[b, 0, :L] = pl[:, 0]
             anch[b, 1, :L] = pl[:, 1]
             anch[b, 2, :L] = pl[:, 2]
             anch[b, 3, :L] = pl[:, 3]
-        anch[b, 4, 0] = z0_shift
-        anch[b, 4, 1] = prior_shift
+            anch[b, 4, :L] = pl[:, 4]
+        anch[b, 5, 0] = z0_shift
+        anch[b, 5, 1] = prior_shift
+        anch[b, 5, 2:5] = np.asarray(R2, np.float32)
     n = len(pl_shift)
     if B0 > n:
         anch[n:] = anch[0]
@@ -503,25 +558,33 @@ def integrate_bundle_batched(pris) -> dict:
 
     changed: dict = {}
     groups: dict = {}
+    cov_dev = None
     with TIMERS.phase("bini.build_inputs"):
         for pri in pris:
-            pl = pri._anchor_payload()
-            stat8, prior_shift = pri.static_prior_dev()
-            z0, z0_shift = pri._z0_shift_dev()
+            if cov_dev is None:
+                cov_dev = _cov_dev_or_dummy(pri.rec)
+            with TIMERS.phase("bini.anchor_payload"):
+                pl = pri._anchor_payload()
+            with TIMERS.phase("bini.dev_rows"):
+                stat8, prior_shift = pri.static_prior_dev()
+                z0, z0_shift = pri._z0_shift_dev()
+            R2 = pri._R2()
             key = (tuple(stat8.shape[-2:]), pri.integrator.params)
             groups.setdefault(key, []).append(
-                (pri, pl, z0_shift, prior_shift, (z0, stat8))
+                (pri, pl, z0_shift, prior_shift, R2, (z0, stat8))
             )
 
     for (shape, params), entries in groups.items():
         n = len(entries)
         B0 = _pow2(n)
         Ka = _pow2(max(max((len(e[1]) for e in entries), default=1), 1), 64)
-        anch = _pack_anchors([(pl, zs, ps) for _, pl, zs, ps, _ in entries], shape, B0, Ka)
-        pairs = [e[4] for e in entries] + [entries[0][4]] * (B0 - n)
+        anch = _pack_anchors(
+            [(pl, zs, ps, R2) for _, pl, zs, ps, R2, _ in entries], shape, B0, Ka
+        )
+        pairs = [e[5] for e in entries] + [entries[0][5]] * (B0 - n)
         with TIMERS.phase("bini.energy_batch"):
             energies_dev, packed = bini_energy_batch_anchors(
-                jnp.asarray(anch), params, *pairs
+                jnp.asarray(anch), params, cov_dev, *pairs
             )
             energies = np.asarray(energies_dev)[:n]
         todo = [
@@ -564,9 +627,12 @@ def int_covs_bundle_batched(pris) -> None:
     from mpsfm_tpu.integration.bini import diag_inverse_at_batch_anchors
 
     groups: dict = {}
+    cov_dev = None
     for pri in pris:
+        if cov_dev is None:
+            cov_dev = _cov_dev_or_dummy(pri.rec)
         q = pri._int_cov_query()
-        key = (tuple(q[0][3][1].shape[-2:]), q[6])
+        key = (tuple(q[0][4][1].shape[-2:]), q[6])
         groups.setdefault(key, []).append((pri, q))
 
     for (shape, params), entries in groups.items():
@@ -580,11 +646,11 @@ def int_covs_bundle_batched(pris) -> None:
         for b, (_, (_split, gy, gx, K, _, _, _)) in enumerate(entries):
             rowcol[b, 0, :K], rowcol[b, 1, :K] = gy, gx
         Ka = _pow2(max(max((len(q[0][0]) for _, q in entries), default=1), 1), 64)
-        anch = _pack_anchors([q[0][:3] for _, q in entries], shape, B, Ka)
-        pairs = [q[0][3] for _, q in entries] + [entries[0][1][0][3]] * (B - n)
+        anch = _pack_anchors([q[0][:4] for _, q in entries], shape, B, Ka)
+        pairs = [q[0][4] for _, q in entries] + [entries[0][1][0][4]] * (B - n)
         varlog = np.asarray(
             diag_inverse_at_batch_anchors(
-                jnp.asarray(anch), jnp.asarray(rowcol), params, 128, *pairs
+                jnp.asarray(anch), jnp.asarray(rowcol), params, 128, cov_dev, *pairs
             )
         )
         for b, (pri, (_, _, _, K, kps_sel, pts2d, _)) in enumerate(entries):

@@ -186,6 +186,109 @@ class ImageRecord:
         return self.registered
 
 
+class LazyCovDict(dict):
+    """Point-covariance store with a deferred device fetch.
+
+    ``calculate_point_covs`` dispatches the covariance program
+    asynchronously and parks (device_array, pt_ids) here via
+    ``set_pending``; the ~35-100 ms tunnel read happens on the FIRST
+    host access instead of at dispatch, overlapping the device compute
+    and transfer latency with the mapper's host work in between
+    (bundle finds, anchor building — PERF.md round 4).
+
+    Device consumers (the integration anchor path) read the covariances
+    WITHOUT any host fetch through ``device_view()`` — the dispatched
+    (P,3,3) array plus a pid->slot map, kept valid across host flushes
+    and invalidated per-pid on pop/overwrite.
+    """
+
+    __slots__ = ("_pendings", "_dev", "_slot", "_dead")
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self._pendings = []  # [(dev, pt_ids)], oldest first
+        self._dev = None
+        self._slot = {}
+        self._dead = set()
+
+    def set_pending(self, dev, pt_ids):
+        # accumulate: flushing the previous dispatch here would be a
+        # blocking device read per covs call even when nothing on the
+        # host ever consumes it (device consumers use device_view)
+        self._pendings.append((dev, pt_ids))
+        self._dev = dev
+        self._slot = {int(p): i for i, p in enumerate(pt_ids)}
+        # a fresh dispatch supersedes earlier deletions of these pids
+        # (point ids are free-list-reused); deletions of OTHER pids keep
+        # masking every older pending at flush time
+        self._dead.difference_update(int(p) for p in pt_ids)
+
+    def device_view(self):
+        """(dev (P,3,3), {pid: slot}) of the most recent covariance
+        dispatch, or None. No host transfer."""
+        if self._dev is None:
+            return None
+        return self._dev, self._slot
+
+    def _flush(self):
+        if not self._pendings:
+            return
+        pendings, self._pendings = self._pendings, []
+        for dev, pt_ids in pendings:  # oldest first: newer values win
+            cov = np.asarray(dev, np.float64)
+            for i, pid in enumerate(pt_ids):
+                if int(pid) not in self._dead:
+                    super().__setitem__(int(pid), cov[i])
+
+    def get(self, *a):
+        self._flush()
+        return super().get(*a)
+
+    def __getitem__(self, k):
+        self._flush()
+        return super().__getitem__(k)
+
+    def __setitem__(self, k, v):
+        self._flush()
+        self._slot.pop(int(k), None)  # host overwrite supersedes the device value
+        super().__setitem__(k, v)
+
+    def __contains__(self, k):
+        self._flush()
+        return super().__contains__(k)
+
+    def __len__(self):
+        self._flush()
+        return super().__len__()
+
+    def __iter__(self):
+        self._flush()
+        return super().__iter__()
+
+    def pop(self, *a):
+        # flush-free: deleting one entry must not force the device read
+        # (filters pop hundreds of points right after a covs dispatch)
+        if a:
+            pid = int(a[0])
+            self._slot.pop(pid, None)
+            self._dead.add(pid)
+            return super().pop(*a)
+        self._flush()
+        return super().pop(*a)
+
+    def items(self):
+        self._flush()
+        return super().items()
+
+    def keys(self):
+        self._flush()
+        return super().keys()
+
+    def values(self):
+        self._flush()
+        return super().values()
+
+
 class PyTrackStore:
     """Pure-Python fallback with the NativeTrackStore interface and
     identical allocation semantics (LIFO free list, duplicate-observation
@@ -309,7 +412,7 @@ class Reconstruction:
         self.tracks = _TracksView(self)
         self._num_points = 0
         # MP-SfM extras
-        self.point_covs: dict[int, np.ndarray] = {}
+        self.point_covs: dict[int, np.ndarray] = LazyCovDict()
         self.best_next_ref_imid: int | None = None
         self.last_ap_inlier_masks: dict = {}
 

@@ -26,7 +26,12 @@ from mpsfm_tpu.estimators.homography import (
     homography_from_four_points,
     homography_transfer_error_sq,
 )
-from mpsfm_tpu.estimators.pnp import pnp_from_six_points, refine_pose_gn, reprojection_residuals
+from mpsfm_tpu.estimators.pnp import (
+    pnp_from_plane,
+    pnp_from_six_points,
+    refine_pose_gn,
+    reprojection_residuals,
+)
 from mpsfm_tpu.geometry.rotations import Rigid3d
 
 
@@ -134,7 +139,19 @@ def ransac_pnp(
     n = xyz.shape[0]
     idx = _sample_indices(key, num_hyp, 6, n, valid_mask)
 
-    poses = jax.vmap(lambda a, b: pnp_from_six_points(a, b, minimal=True))(xyz[idx], xy_norm[idx])
+    # two hypothesis families per sample: the 6-pt DLT (general position)
+    # and the homography-based planar solver — lifted-depth clouds are
+    # often near-exactly coplanar (integrated surfaces), where the DLT
+    # nullspace is 4-D and its smallest-vector solution returns ~0
+    # inliers; the scoring pass picks whichever family fits
+    poses_dlt = jax.vmap(lambda a, b: pnp_from_six_points(a, b, minimal=True))(
+        xyz[idx], xy_norm[idx]
+    )
+    poses_pl = jax.vmap(pnp_from_plane)(xyz[idx], xy_norm[idx])
+    poses = Rigid3d(
+        jnp.concatenate([poses_dlt.quat, poses_pl.quat]),
+        jnp.concatenate([poses_dlt.t, poses_pl.t]),
+    )
 
     def errs_for(pose):
         r = reprojection_residuals(pose, xyz, xy_norm)

@@ -141,6 +141,9 @@ class SuperPoint:
             import torch
 
             sd = torch.load(wp, map_location="cpu")
+            from mpsfm_tpu.extraction.manifest import check_state_dict
+
+            check_state_dict(sd, "superpoint", where=str(wp))
             self.params = params_from_torch_state_dict(sd)
         self._fwd = jax.jit(lambda p, x: self.net.apply(p, x))
 

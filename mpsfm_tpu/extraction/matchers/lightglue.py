@@ -90,6 +90,11 @@ class LightGlue:
             sd = torch.load(wp, map_location="cpu")
             if "state_dict" in sd:
                 sd = sd["state_dict"]
+            # manifest check only at the official architecture size
+            if (self.conf["dim"], self.conf["num_heads"], self.conf["n_layers"]) == (256, 4, 9):
+                from mpsfm_tpu.extraction.manifest import check_state_dict
+
+                check_state_dict(sd, "lightglue", where=str(wp))
             self.params = self.params_from_torch_state_dict(sd)
         if self.conf["dtype"] == "bfloat16":
 
@@ -256,21 +261,25 @@ class LightGlue:
         """softmax(q kᵀ · sm_scale) v with key-padding masks.
 
         q/k/v (B,N,H,hd). Paths, selectable via MPSFM_LG_ATTN:
-        `einsum` (default) — fused masked softmax; measured fastest on
-        the axon-tunneled v5e (542 ms/pair at N=2048 bf16).
+        `qchunk` (default on-TPU bf16) — scan over NARROW query blocks
+        (MPSFM_LG_BLOCK, default 32): each step's (B,H,32,M) logits
+        chain qk→mask→softmax→pv fuses into one VMEM-resident kernel
+        (16·4·32·2048 bf16 ≈ 8 MB), so the N×M logits never round-trip
+        HBM. Measured on the tunneled v5e at N=2048, B=16: 6.3 ms/pair
+        (158 pairs/s) vs 14.5 ms/pair for einsum — block 32 ≫ block 256
+        (9.0 ms) ≫ block 512 (11.8): the win is the tile fitting VMEM.
+        `einsum` (default otherwise) — fused masked softmax; simplest,
+        and what the f32 parity tests run.
         `pallas` — the Pallas flash-attention kernel (logits never touch
         HBM; the right path on directly-attached TPU, but its compile
         hangs >25 min through the tunnel).
-        `stream` — pure-XLA online-softmax over KV blocks; measured
-        SLOWER than einsum here (610 ms/pair) because XLA round-trips
-        the f32 accumulator through HBM every block step, unlike the
-        VMEM-resident flash kernel. Kept as the memory-bounded fallback
-        for very long keypoint lists (peak memory O(N·block), not N²)."""
+        `stream` — pure-XLA online-softmax over KV blocks (68 pairs/s:
+        the f32 accumulator round-trips HBM every block step). Kept as
+        the memory-bounded fallback for very long keypoint lists."""
         import os
 
         B, N, H, hd = q.shape
         M = k.shape[1]
-        mode = os.environ.get("MPSFM_LG_ATTN", "einsum")
         big = (
             q.dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"
@@ -279,10 +288,17 @@ class LightGlue:
             and N % 128 == 0
             and M % 128 == 0
         )
+        mode = os.environ.get("MPSFM_LG_ATTN", "qchunk" if big else "einsum")
         if mode == "stream":
-            return LightGlue._attention_streaming(q, k, v, kv_mask, sm_scale)
+            return LightGlue._attention_streaming(
+                q, k, v, kv_mask, sm_scale,
+                block=int(os.environ.get("MPSFM_LG_BLOCK", "1024")),
+            )
         if mode == "qchunk":
-            return LightGlue._attention_qchunk(q, k, v, kv_mask, sm_scale)
+            return LightGlue._attention_qchunk(
+                q, k, v, kv_mask, sm_scale,
+                block=int(os.environ.get("MPSFM_LG_BLOCK", "32")),
+            )
         if mode == "pallas" and big:
             try:
                 from jax.experimental.pallas.ops.tpu.flash_attention import (

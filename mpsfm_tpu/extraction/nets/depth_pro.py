@@ -73,6 +73,12 @@ class DepthPro:
             sd = torch.load(wp, map_location="cpu")
             if "state_dict" in sd:
                 sd = sd["state_dict"]
+            # manifest check only at the official architecture size
+            if all(self.conf.get(k) == v for k, v in self.default_conf.items()
+                   if k != "weights_path"):
+                from mpsfm_tpu.extraction.manifest import check_state_dict
+
+                check_state_dict(sd, "depthpro", where=str(wp))
             self.params = self.params_from_torch_state_dict(sd)
         self._jit_fwd = jax.jit(self._forward)
 
@@ -134,7 +140,9 @@ class DepthPro:
         B, S = x.shape[0], x.shape[1]
         h = w = S // P
         Wp = jnp.transpose(p[prefix + "embeddings.patch_embeddings.projection.weight"], (2, 3, 1, 0))
-        xp = x.reshape(B, h, P, w, P, 3)
+        # HF Dinov2 patchifies with a VALID conv: 384 px / patch 14 ->
+        # 27 tokens, silently dropping the trailing 6 px — crop to match
+        xp = x[:, : h * P, : w * P].reshape(B, h, P, w, P, 3)
         tok = jnp.einsum("bhpwqc,pqcd->bhwd", xp, Wp).reshape(B, h * w, D)
         tok = tok + p[prefix + "embeddings.patch_embeddings.projection.bias"]
         pe = p[prefix + "embeddings.position_embeddings"]

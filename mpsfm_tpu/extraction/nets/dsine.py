@@ -102,6 +102,14 @@ class DSINE:
                 if isinstance(sd, dict) and key in sd:
                     sd = sd[key]
             self.params = self.params_from_torch_state_dict(sd)
+            # manifest check only at the official architecture size
+            official = self.conf["stages"] == tuple(
+                tuple(s) for s in efficientnet_stages(1.6, 2.2)
+            ) and self.conf["head"] == 2048
+            if official:
+                from mpsfm_tpu.extraction.manifest import check_state_dict
+
+                check_state_dict(self.params, "dsine", where=str(wp))
         self._jit_fwd = jax.jit(self._forward)
 
     # ------------------------------------------------------------- params

@@ -113,6 +113,11 @@ class Mast3rNet:
                 if isinstance(sd, dict) and key in sd:
                     sd = sd[key]
             self.params = self.params_from_torch_state_dict(sd)
+            # manifest check only at the official architecture size
+            if self.conf == MODEL_CONFIG:
+                from mpsfm_tpu.extraction.manifest import check_state_dict
+
+                check_state_dict(self.params, "mast3r", where=str(wp))
         self._jit_fwd = jax.jit(self._forward, static_argnames=("patch_hw",))
 
     # ------------------------------------------------------------- params
@@ -416,14 +421,15 @@ class Mast3rMatcher:
         self.conf = conf
         self.net = Mast3rNet(conf)
         if self.net.params is None:
-            if self.net.conf["enc_dim"] >= 512:
+            if self.net.conf["enc_dim"] >= 512 and not conf.get("allow_random"):
                 raise RuntimeError(
                     "MASt3R matcher has no weights in this environment. "
                     "Set dense_matcher_conf.weights_path to "
                     "MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric.pth "
-                    "(zero-egress images ship no checkpoints)."
+                    "(zero-egress images ship no checkpoints; pass "
+                    "allow_random: true for compile/throughput smokes)."
                 )
-            self.net.init_random(0)  # tiny test configs only
+            self.net.init_random(0)  # tiny test configs / smoke paths
 
     def _prep(self, img):
         img = np.asarray(img, np.float32)

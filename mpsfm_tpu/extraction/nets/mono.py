@@ -87,6 +87,14 @@ class ViTMonoBackend:
         self.canonical_focal = float(conf.get("canonical_focal", 500.0))
         self.flip_consistency = bool(conf.get("flip_consistency", False))
         self.depth_uncertainty = conf.get("depth_uncertainty", 0.05)
+        # fixed processing resolution (long side), the convention of every
+        # reference mono net (e.g. Metric3Dv2 resizes to its canonical
+        # input and rescales depth by the focal ratio): inputs are resized
+        # so train-time and inference-time token grids share one
+        # pos-embedding layout; depth values are resolution-invariant and
+        # the focal entering the canonical-scale conversion is the
+        # *effective* (resized) focal.
+        self.resize_long = conf.get("resize_long")
         self.net = MonoViT(
             dim=int(conf.get("dim", 192)),
             depth_blocks=int(conf.get("depth_blocks", 6)),
@@ -111,21 +119,40 @@ class ViTMonoBackend:
         if img.ndim == 2:
             img = np.stack([img] * 3, -1)
         H, W = img.shape[:2]
+        f_scale = 1.0
+        Hr, Wr = H, W
+        if self.resize_long and max(H, W) != int(self.resize_long):
+            import cv2
+
+            f_scale = float(self.resize_long) / max(H, W)
+            Wr, Hr = max(1, round(W * f_scale)), max(1, round(H * f_scale))
+            img = cv2.resize(img, (Wr, Hr), interpolation=cv2.INTER_AREA)
         p = self.net.patch if hasattr(self.net, "patch") else 16
-        Hp, Wp = ((H + p - 1) // p) * p, ((W + p - 1) // p) * p
+        Hp, Wp = ((Hr + p - 1) // p) * p, ((Wr + p - 1) // p) * p
         xb = np.zeros((1, Hp, Wp, 3), np.float32)
-        xb[0, :H, :W] = img
+        xb[0, :Hr, :Wr] = img
         if self.flip_consistency:
             xb = np.concatenate([xb, xb[:, :, ::-1]], 0)
         x = jnp.asarray(xb)
         self._ensure_params(x)
         out = jax.tree_util.tree_map(np.asarray, self._fwd(self.params, x))
-        depth = out["depth"][0][:H, :W].astype(np.float64)
-        normals = out["normals"][0][:H, :W].astype(np.float64)
-        kappa = out["kappa"][0][:H, :W].astype(np.float64)
-        conf = out["conf"][0][:H, :W].astype(np.float64)
+
+        def up(a):
+            """Processing res -> native res (depth values are invariant)."""
+            if (Hr, Wr) == (H, W):
+                return a
+            import cv2
+
+            return cv2.resize(np.ascontiguousarray(a, np.float32), (W, H),
+                              interpolation=cv2.INTER_LINEAR).astype(np.float64)
+
+        depth = up(out["depth"][0][:Hr, :Wr].astype(np.float64))
+        normals = up(out["normals"][0][:Hr, :Wr].astype(np.float64))
+        normals = normals / np.clip(np.linalg.norm(normals, axis=-1, keepdims=True), 1e-8, None)
+        kappa = up(out["kappa"][0][:Hr, :Wr].astype(np.float64))
+        conf = up(out["conf"][0][:Hr, :Wr].astype(np.float64))
         if intrinsics is not None:
-            f = 0.5 * (float(intrinsics[0]) + float(intrinsics[1]))
+            f = 0.5 * (float(intrinsics[0]) + float(intrinsics[1])) * f_scale
             depth = depth * (f / self.canonical_focal)
         result = {
             "depth": depth,
@@ -139,18 +166,22 @@ class ViTMonoBackend:
             "normals_variance": kappa_to_alpha(np.maximum(kappa, 1e-3)) ** 2,
         }
         if self.flip_consistency:
-            d2 = out["depth"][1][:, ::-1][:H, :W].astype(np.float64)  # unflip
+            d2 = up(out["depth"][1][:, ::-1][:Hr, :Wr].astype(np.float64))  # unflip
             if intrinsics is not None:
-                d2 = d2 * (0.5 * (float(intrinsics[0]) + float(intrinsics[1])) / self.canonical_focal)
+                d2 = d2 * (
+                    0.5 * (float(intrinsics[0]) + float(intrinsics[1])) * f_scale
+                    / self.canonical_focal
+                )
             result["depth2"] = d2
-            c2 = out["conf"][1][:, ::-1][:H, :W].astype(np.float64)
+            c2 = up(out["conf"][1][:, ::-1][:Hr, :Wr].astype(np.float64))
             result["depth_variance2"] = np.square(d2 * np.clip(1.0 - c2, 1e-3, None))
-            n2 = out["normals"][1][:, ::-1][:H, :W].astype(np.float64)
+            n2 = up(out["normals"][1][:, ::-1][:Hr, :Wr].astype(np.float64)).copy()
             n2[..., 0] *= -1.0  # mirror the x component back
+            n2 = n2 / np.clip(np.linalg.norm(n2, axis=-1, keepdims=True), 1e-8, None)
             result["normals2"] = n2
             result["normals2_variance"] = (
                 kappa_to_alpha(
-                    np.maximum(out["kappa"][1][:, ::-1][:H, :W].astype(np.float64), 1e-3)
+                    np.maximum(up(out["kappa"][1][:, ::-1][:Hr, :Wr].astype(np.float64)), 1e-3)
                 )
                 ** 2
             )

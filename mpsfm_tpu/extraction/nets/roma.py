@@ -100,6 +100,13 @@ class RomaNet:
                 if isinstance(dsd, dict) and "model" in dsd:
                     dsd = dsd["model"]
             self.params = self.params_from_torch_state_dict(sd, dsd)
+            # manifest check only at the official architecture size
+            if self.conf == MODEL_CONFIG:
+                from mpsfm_tpu.extraction.manifest import check_state_dict
+
+                # dinov2 ships as a separate file; require it when given
+                name = "roma" if dv else "roma-outdoor"
+                check_state_dict(self.params, name, where=str(wp))
         self._jit_fwd = jax.jit(self._forward, static_argnames=("hw",))
 
     # ------------------------------------------------------------- params
@@ -527,13 +534,14 @@ class RomaMatcher:
         self.conf = conf
         self.net = RomaNet(conf)
         if self.net.params is None:
-            if self.net.conf["vit_dim"] >= 512:
+            if self.net.conf["vit_dim"] >= 512 and not conf.get("allow_random"):
                 raise RuntimeError(
                     "RoMa matcher has no weights in this environment. Set "
                     "dense_matcher_conf.weights_path (roma_outdoor.pth) and "
-                    "dinov2_weights_path (dinov2_vitl14_pretrain.pth)."
+                    "dinov2_weights_path (dinov2_vitl14_pretrain.pth); pass "
+                    "allow_random: true for compile/throughput smokes."
                 )
-            self.net.init_random(0)  # tiny test configs only
+            self.net.init_random(0)  # tiny test configs / smoke paths
 
     def _prep(self, img, res):
         img = np.asarray(img, np.float32)

@@ -98,6 +98,9 @@ class NetVLAD:
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
         sd = {k: np.asarray(v) for k, v in sd.items()}
+        from mpsfm_tpu.extraction.manifest import check_state_dict
+
+        check_state_dict(sd, "netvlad", where=str(path))
         return NetVLAD.params_from_torch_state_dict(sd)
 
     @staticmethod

@@ -18,6 +18,14 @@ class ImageSelection(BaseClass):
     default_conf = {
         "image_selection_method": "MAX_MATCHER_INLIER_SCORES",
         "init_max_config": 8,
+        # COLMAP's IncrementalMapper init_min_num_inliers guardrail: a
+        # config-2 (calibrated) pair with few verified inliers is usually
+        # a chance-consistent false-match set on self-similar texture and
+        # must not outrank a well-supported planar (config-6) pair just
+        # because class 2 sorts first. Pairs below the floor are dropped
+        # from init ranking; if NO pair passes, ranking falls back to the
+        # unfiltered order (small scenes / sparse coverage still init).
+        "init_min_num_inliers": 50,
         "verbose": 0,
     }
 
@@ -32,21 +40,28 @@ class ImageSelection(BaseClass):
         """Ranked init pairs: config classes 2..8 in order, by inliers
         (reference :42-76)."""
         exclude = exclude_init_pairs or set()
-        proposals = []
-        for config_class in range(2, self.conf.init_max_config + 1):
-            impairs = []
-            inliers = []
-            for (imid1, imid2) in self.corr.image_pairs():
-                if (imid1, imid2) in exclude or (imid2, imid1) in exclude:
-                    continue
-                tvg = self.corr.two_view_geom_by_ids(imid1, imid2)
-                if tvg is None or int(tvg.config) != config_class:
-                    continue
-                impairs.append((imid1, imid2))
-                inliers.append(len(tvg.inlier_matches))
-            order = np.argsort(np.asarray(inliers))[::-1] if impairs else []
-            proposals.extend(impairs[i] for i in order)
-        return proposals
+
+        def ranked(min_inliers):
+            proposals = []
+            for config_class in range(2, self.conf.init_max_config + 1):
+                impairs = []
+                inliers = []
+                for (imid1, imid2) in self.corr.image_pairs():
+                    if (imid1, imid2) in exclude or (imid2, imid1) in exclude:
+                        continue
+                    tvg = self.corr.two_view_geom_by_ids(imid1, imid2)
+                    if tvg is None or int(tvg.config) != config_class:
+                        continue
+                    if len(tvg.inlier_matches) < min_inliers:
+                        continue
+                    impairs.append((imid1, imid2))
+                    inliers.append(len(tvg.inlier_matches))
+                order = np.argsort(np.asarray(inliers))[::-1] if impairs else []
+                proposals.extend(impairs[i] for i in order)
+            return proposals
+
+        proposals = ranked(self.conf.init_min_num_inliers)
+        return proposals or ranked(0)
 
     def rank_image(self, imid):
         method = self.conf.image_selection_method

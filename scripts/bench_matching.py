@@ -67,10 +67,15 @@ def lightglue():
     # Production consumes the score matrix ON DEVICE (mutual-argmax match
     # extraction); transferring the raw (B,N,N) scores back would cost
     # ~270MB through the ~30MB/s tunnel and time the link, not the chip.
-    # Time the forward + device-side match extraction, transfer O(B·N).
+    # Time the forward + device-side match extraction, transfer O(B·N) —
+    # through the PRODUCTION bf16 path (matcher default dtype; the f32
+    # HIGHEST path is ~2.3x slower and only used by parity tests).
     @jax.jit
     def fwd_and_match(params, k0, k1, d0, d1, m0, m1):
-        scores = lg._forward(params, k0, k1, d0, d1, m0, m1)
+        bf = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
+        with jax.default_matmul_precision("default"):
+            scores = lg._forward(bf(params), bf(k0), bf(k1), bf(d0), bf(d1), m0, m1)
+        scores = scores.astype(jnp.float32)
         j = jnp.argmax(scores[:, :N, :N], -1)
         i_back = jnp.argmax(scores[:, :N, :N], -2)
         mutual = jnp.take_along_axis(i_back, j, 1) == jnp.arange(N)[None]

@@ -238,10 +238,26 @@ class PlaneScene:
         return rec, keypoints, matches, gt
 
 
-def render_scene_dir(scene: "PlaneScene", out_dir, rng=None, texture_res=1024, depth_noise=0.0):
+def render_scene_dir(
+    scene: "PlaneScene",
+    out_dir,
+    rng=None,
+    texture_res=1024,
+    depth_noise=0.0,
+    plane_extent=8.0,
+    write_depth=True,
+    supersample=1,
+):
     """Render the plane scene to disk as an RGB-D dataset consumable by the
     CLI pipeline: images/*.png, depth/*.npy (sensor depth), intrinsics.yaml.
-    """
+
+    ``plane_extent`` is the world-units span the texture covers along the
+    plane axes (wider trajectories need a wider carpet); the texture is a
+    pure function of the world point, so two scenes sharing plane params
+    and the same ``rng`` seed render the SAME scene from different poses
+    (used by the trained-prior tests: a training pass and a disjoint
+    low-overlap capture of one scene). ``write_depth=False`` renders an
+    RGB-only capture (priors must then come from a model)."""
     import cv2
     import yaml
     from pathlib import Path
@@ -249,16 +265,19 @@ def render_scene_dir(scene: "PlaneScene", out_dir, rng=None, texture_res=1024, d
     rng = rng or np.random.default_rng(1)
     out = Path(out_dir)
     (out / "images").mkdir(parents=True, exist_ok=True)
-    (out / "depth").mkdir(parents=True, exist_ok=True)
+    if write_depth:
+        (out / "depth").mkdir(parents=True, exist_ok=True)
 
-    # smooth random texture with high-frequency detail for corners
-    tex = rng.uniform(0, 1, (texture_res // 8, texture_res // 8))
-    tex = cv2.resize(tex, (texture_res, texture_res), interpolation=cv2.INTER_CUBIC)
-    tex += 0.3 * cv2.resize(
-        rng.uniform(-1, 1, (texture_res // 2, texture_res // 2)), (texture_res, texture_res),
-        interpolation=cv2.INTER_NEAREST,
-    )
-    tex = cv2.GaussianBlur(tex, (3, 3), 0.8)
+    # multi-octave fractal texture: distinctive local structure at every
+    # scale, so descriptors are globally unique — random cross-view
+    # matches then fail geometric verification instead of accumulating
+    # chance-consistent inlier sets (which can win init-pair ranking)
+    tex = np.zeros((texture_res, texture_res))
+    for octv, wgt in enumerate((1.0, 0.7, 0.5, 0.35, 0.25)):
+        res_o = max(8, texture_res >> (4 - octv))
+        layer = rng.uniform(-1, 1, (res_o, res_o))
+        tex += wgt * cv2.resize(layer, (texture_res, texture_res), interpolation=cv2.INTER_CUBIC)
+    tex = cv2.GaussianBlur(tex, (3, 3), 0.6)
     tex = (tex - tex.min()) / (tex.max() - tex.min())
 
     # plane frame: origin at (0,0,?) on plane, axes e1,e2 orthogonal to n
@@ -273,28 +292,36 @@ def render_scene_dir(scene: "PlaneScene", out_dir, rng=None, texture_res=1024, d
     W, H = scene.W, scene.H
     f = scene.focal
     for i, pose in enumerate(scene.poses):
-        depth = scene.plane_depth(pose)
-        xx, yy = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
-        u = (xx - W / 2) / f
-        v = (yy - H / 2) / f
+        # supersample > 1: render at ss x resolution and area-downsample —
+        # proper antialiasing so fine texture stays view-consistent
+        # (aliased detail decorrelates descriptors across views)
+        ss = int(supersample)
+        Ws, Hs, fs = W * ss, H * ss, f * ss
+        depth = scene.plane_depth(pose, W=Ws, H=Hs, fx=fs)
+        xx, yy = np.meshgrid(np.arange(Ws, dtype=np.float64), np.arange(Hs, dtype=np.float64))
+        u = (xx - Ws / 2) / fs
+        v = (yy - Hs / 2) / fs
         p_cam = np.stack([u * depth, v * depth, depth], -1)
         Rt = pose.rotation_matrix().T
         p_world = np.einsum("ij,hwj->hwi", Rt, p_cam - pose.t[None, None])
         rel = p_world - p0
         s = np.einsum("i,hwi->hw", e1, rel)
         t = np.einsum("i,hwi->hw", e2, rel)
-        # plane extent ~ +/-4 units -> texture coords
-        su = (s / 8.0 + 0.5) * (texture_res - 1)
-        tv = (t / 8.0 + 0.5) * (texture_res - 1)
+        # plane extent ~ +/-plane_extent/2 units -> texture coords
+        su = (s / plane_extent + 0.5) * (texture_res - 1)
+        tv = (t / plane_extent + 0.5) * (texture_res - 1)
         img = cv2.remap(
             tex.astype(np.float32), su.astype(np.float32), tv.astype(np.float32),
             cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT,
         )
+        if ss > 1:
+            img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
         cv2.imwrite(str(out / "images" / f"im{i:02d}.png"), (img * 255).astype(np.uint8))
-        d = depth.copy()
-        if depth_noise:
-            d = d * np.exp(rng.normal(scale=depth_noise, size=d.shape))
-        np.save(out / "depth" / f"im{i:02d}.npy", d)
+        if write_depth:
+            d = depth.copy() if ss == 1 else scene.plane_depth(pose)
+            if depth_noise:
+                d = d * np.exp(rng.normal(scale=depth_noise, size=d.shape))
+            np.save(out / "depth" / f"im{i:02d}.npy", d)
 
     with open(out / "intrinsics.yaml", "w") as fh:
         yaml.safe_dump(

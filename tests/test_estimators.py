@@ -170,3 +170,33 @@ def test_homography_pose_recovery_planar(rng):
     t_est = out["pose"].t / np.linalg.norm(out["pose"].t)
     t_gt = np.asarray(pose2.t) / np.linalg.norm(pose2.t)
     assert min(np.abs(t_est - t_gt).max(), np.abs(t_est + t_gt).max()) < 0.05
+
+
+def test_ransac_pnp_on_coplanar_points(rng):
+    """Regression (round 4): EXACTLY coplanar 3D points — the 6-pt DLT
+    nullspace is 2-D and the plain smallest-vector hypothesis returns ~0
+    inliers — the nullspace is 4-D: P + qπᵀ (found live: lifted clouds from INTEGRATED depth are
+    near-exactly planar; cv2 P3P got 148/156 while ransac_pnp got 0).
+    The planar-safe rank-2 nullspace completion must recover the pose."""
+    pose1, pose2, pts, px1, px2 = make_scene(rng, n=200, planar=True)
+    xy2 = np.array(cam_from_img(CAM, px2))
+    xy2 += rng.normal(scale=0.5 / 500.0, size=xy2.shape)
+    thresh = (4.0 / 500.0) ** 2
+    out = ransac_pnp(
+        jax.random.PRNGKey(3), pts, jnp.asarray(xy2, jnp.float32), jnp.ones(200, bool), thresh
+    )
+    assert int(out["num_inliers"]) >= 160, int(out["num_inliers"])
+    assert rot_angle_deg(out["pose"].quat, pose2.quat) < 0.5
+    np.testing.assert_allclose(np.asarray(out["pose"].t), np.asarray(pose2.t), atol=0.02)
+
+
+def test_pnp_from_plane_exact(rng):
+    """The homography-based planar solver recovers the pose exactly from
+    coplanar points (where the 6-pt DLT is degenerate)."""
+    from mpsfm_tpu.estimators.pnp import pnp_from_plane
+
+    pose1, pose2, pts, px1, px2 = make_scene(rng, n=12, planar=True)
+    xy2 = cam_from_img(CAM, px2)
+    pose = pnp_from_plane(pts, jnp.asarray(xy2))
+    assert rot_angle_deg(pose.quat, pose2.quat) < 0.2
+    np.testing.assert_allclose(np.asarray(pose.t), np.asarray(pose2.t), atol=1e-2)

@@ -204,3 +204,24 @@ def test_tvg_cache_roundtrip(tmp_path):
     assert c.get("d/a.jpg", "b.jpg", dig) is not None
     assert all("/" not in k for k in c._f.keys())
     c.close()
+
+
+def test_lightglue_attention_paths_agree(rng):
+    """qchunk (TPU production default, round 4) / stream / einsum are the
+    same math tiled differently — must agree to fp tolerance, including
+    masked key padding."""
+    import jax.numpy as jnp
+
+    from mpsfm_tpu.extraction.matchers.lightglue import LightGlue
+
+    B, N, M, H, hd = 2, 96, 80, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, N, H, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, M, H, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, M, H, hd)).astype(np.float32))
+    kv_mask = jnp.asarray(np.arange(M)[None, :] < np.array([[M], [M - 17]]))
+    scale = 1.0 / np.sqrt(hd)
+    ref = LightGlue._attention(q, k, v, None, kv_mask, scale)  # einsum (default off-TPU)
+    qc = LightGlue._attention_qchunk(q, k, v, kv_mask, scale, block=32)
+    st = LightGlue._attention_streaming(q, k, v, kv_mask, scale, block=16)
+    np.testing.assert_allclose(np.asarray(qc), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(ref), atol=2e-5)

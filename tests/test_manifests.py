@@ -1,0 +1,165 @@
+"""Checkpoint-manifest coverage (VERDICT r3 item 8).
+
+Every external-net port pins a {key: shape} inventory of its official
+checkpoint file (mpsfm_tpu/extraction/manifests/*.json). These tests
+assert the fixtures stay in sync with the ports' own official-naming
+param builders, that manifest-shaped checkpoints are load-and-go through
+the real loader paths, and that any key/shape mismatch is caught at load
+time with a full diff — not deep inside a forward pass.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from mpsfm_tpu.extraction.manifest import (
+    BUILTIN,
+    MANIFEST_DIR,
+    check_state_dict,
+    diff_state_dict,
+    load_manifest,
+    manifest_from_params,
+)
+
+ALL_MANIFESTS = [
+    "superpoint", "lightglue", "netvlad",
+    "metric3dv2-small", "metric3dv2-large", "metric3dv2-giant2",
+    "dsine", "depthanythingv2-vitl", "mast3r",
+    "roma", "roma-outdoor", "roma-dinov2", "depthpro",
+]
+
+
+def test_fixtures_exist_and_wellformed():
+    for name in ALL_MANIFESTS:
+        path = MANIFEST_DIR / f"{name}.json"
+        assert path.exists(), f"missing manifest fixture {name}"
+        man = json.loads(path.read_text())
+        assert len(man) >= 20, name
+        for k, v in man.items():
+            assert isinstance(k, str) and isinstance(v, list) and all(
+                isinstance(d, int) and d > 0 for d in v
+            ), (name, k, v)
+
+
+def test_builtin_builders_match_fixtures():
+    for name, builder in BUILTIN.items():
+        built = {k: list(v) for k, v in builder().items()}
+        assert built == load_manifest(name), name
+
+
+def test_metric3d_small_manifest_matches_init_random():
+    from mpsfm_tpu.extraction.nets.metric3d import Metric3Dv2
+
+    net = Metric3Dv2({"encoder": "vit_small_reg"})
+    net.init_random(0)
+    assert manifest_from_params(net.params) == load_manifest("metric3dv2-small")
+
+
+def test_depthanything_manifest_matches_init_random():
+    from mpsfm_tpu.extraction.nets.depth_anything import DepthAnythingV2
+
+    net = DepthAnythingV2()
+    net.init_random(0)
+    assert manifest_from_params(net.params) == load_manifest("depthanythingv2-vitl")
+
+
+@pytest.mark.slow
+def test_big_net_manifests_match_init_random():
+    from mpsfm_tpu.extraction.nets.dsine import DSINE
+    from mpsfm_tpu.extraction.nets.mast3r import Mast3rNet
+    from mpsfm_tpu.extraction.nets.metric3d import Metric3Dv2
+    from mpsfm_tpu.extraction.nets.roma import RomaNet
+
+    net = DSINE({})
+    net.init_random(0)
+    assert manifest_from_params(net.params) == load_manifest("dsine")
+
+    net = Mast3rNet()
+    net.init_random(0)
+    assert manifest_from_params(net.params) == load_manifest("mast3r")
+
+    net = RomaNet()
+    net.init_random(0)
+    man = manifest_from_params(net.params)
+    assert man == load_manifest("roma")
+    assert {k: v for k, v in man.items() if not k.startswith("dinov2.")} == load_manifest(
+        "roma-outdoor"
+    )
+
+    for enc, tag in (("vit_large_reg", "large"), ("vit_giant2_reg", "giant2")):
+        net = Metric3Dv2({"encoder": enc})
+        net.init_random(0)
+        assert manifest_from_params(net.params) == load_manifest(f"metric3dv2-{tag}")
+        net.params = None
+
+
+def _zeros_sd(name):
+    return {k: np.zeros(v, np.float32) for k, v in load_manifest(name).items()}
+
+
+def test_classic_converters_accept_manifest_shaped_checkpoints():
+    """A checkpoint exactly matching the manifest is load-and-go through
+    the converters (key coverage + shape acceptance)."""
+    from mpsfm_tpu.extraction.features.superpoint import params_from_torch_state_dict
+    from mpsfm_tpu.extraction.matchers.lightglue import LightGlue
+    from mpsfm_tpu.extraction.retrieval import NetVLAD
+
+    p = params_from_torch_state_dict(_zeros_sd("superpoint"))
+    assert p["params"]["convDb"]["kernel"].shape == (1, 1, 256, 256)
+
+    p = LightGlue.params_from_torch_state_dict(_zeros_sd("lightglue"))
+    assert p["self_0"]["Wqkv"]["w"].shape == (768, 256)
+    assert "cross_8" in p
+
+    p = NetVLAD.params_from_torch_state_dict(_zeros_sd("netvlad"))
+    assert p["centers"].shape == (64, 512)
+    assert p["whiten_w"].shape == (4096, 64 * 512)
+
+
+def test_diff_and_check_state_dict():
+    man_name = "superpoint"
+    sd = _zeros_sd(man_name)
+    assert diff_state_dict(sd, load_manifest(man_name)) == {
+        "missing": [], "unexpected": [], "mismatched": {}
+    }
+    check_state_dict(sd, man_name)  # no raise
+
+    # missing key -> raises with the key named
+    broken = dict(sd)
+    broken.pop("convDb.weight")
+    with pytest.raises(ValueError, match="convDb.weight"):
+        check_state_dict(broken, man_name)
+
+    # shape mismatch -> raises
+    broken = dict(sd)
+    broken["conv1a.weight"] = np.zeros((64, 3, 3, 3), np.float32)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        check_state_dict(broken, man_name)
+
+    # unexpected key -> warns but passes by default
+    extra = dict(sd)
+    extra["optimizer.step"] = np.zeros(1, np.float32)
+    with pytest.warns(UserWarning):
+        check_state_dict(extra, man_name)
+    with pytest.raises(ValueError):
+        check_state_dict(extra, man_name, ignore_unexpected=False)
+
+
+def test_superpoint_loader_is_load_and_go_and_rejects_mismatch(tmp_path):
+    """The real weights_path loader path accepts a manifest-exact file and
+    raises a manifest diff on a truncated one."""
+    torch = pytest.importorskip("torch")
+    from mpsfm_tpu.extraction.features.superpoint import SuperPoint
+
+    sd = {k: torch.zeros(*v) for k, v in load_manifest("superpoint").items()}
+    good = tmp_path / "superpoint_v1.pth"
+    torch.save(sd, good)
+    sp = SuperPoint({"weights_path": str(good)})
+    assert sp.params is not None
+
+    sd.pop("convPb.bias")
+    bad = tmp_path / "superpoint_bad.pth"
+    torch.save(sd, bad)
+    with pytest.raises(ValueError, match="convPb.bias"):
+        SuperPoint({"weights_path": str(bad)})

@@ -43,6 +43,17 @@ class ImagePriors(BaseClass):
         "downscale_factor": 2,
         "downscaled": True,
         "cov_cg_iters": 16,  # deflated PCG: ~1% diag err at 10 iters (bini.py)
+        # Relative floor on the int_covs posterior depth std (fraction of
+        # prior depth). Deviation from the reference (which applies
+        # diag(H⁻¹) unfloored, integration.py:604-616): the integration
+        # posterior assumes per-pixel-INDEPENDENT prior noise, so whole-
+        # image averaging drives the posterior level variance toward
+        # var_prior/N_pixels. Real metric-depth priors carry CORRELATED
+        # scale/bias error that averaging cannot remove; an unfloored
+        # posterior whitens those residuals at O(√N)·σ and the stiff
+        # depth terms then tear the map apart in trivial-loss point
+        # refinement (diagnosed on the planar multichip dryrun scene).
+        "int_cov_rel_floor": 0.01,
         "scale_filter": True,
         "scale_filter_factor": 1.5,
         "robust_triangles": 2,
@@ -459,6 +470,9 @@ class ImagePriors(BaseClass):
     def _apply_int_covs(self, varlog, kps_sel, pts2d):
         d_prior = self.depth.data_prior_at_kps(kps_sel)
         var = varlog * d_prior**2  # var(log d) -> var(d)
+        floor = float(self.conf.int_cov_rel_floor or 0.0)
+        if floor > 0.0:
+            var = np.maximum(var, (floor * d_prior) ** 2)
         for kp, v in zip(pts2d, var):
             self.depth.uncertainty_update[int(kp)] = float(max(v, 1e-12))
         self.int_covs_applied = True

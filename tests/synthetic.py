@@ -149,6 +149,7 @@ class PlaneScene:
         with_priors=True,
         priors_conf=None,
         visibility=0.9,
+        normals_noise_deg=3.0,
     ):
         """Returns (rec, keypoints dict, matches dict, gt)."""
         rng = self.rng
@@ -223,12 +224,27 @@ class PlaneScene:
                 if depth_noise:
                     depth = depth * np.exp(rng.normal(scale=depth_noise, size=depth.shape))
                 normals = self.cam_normals(pose)
+                normals_dict = {"normals": normals}
+                if normals_noise_deg:
+                    # honest priors: perturb the analytic normals with
+                    # tangent-plane angular noise AND declare a matching
+                    # variance — exact normals with the 1° default variance
+                    # make the integration posterior collapse toward the
+                    # (correlated-error-blind) level variance
+                    rad = np.deg2rad(normals_noise_deg)
+                    v = rng.normal(scale=rad, size=normals.shape)
+                    v -= (v * normals).sum(-1, keepdims=True) * normals
+                    n = normals + v
+                    normals_dict["normals"] = n / np.clip(
+                        np.linalg.norm(n, axis=-1, keepdims=True), 1e-12, None
+                    )
+                    normals_dict["normals_variance"] = np.full(normals.shape[:2], rad**2)
                 pri = ImagePriors(
                     conf,
                     rec,
                     i,
                     depth_dict={"depth": depth},
-                    normals_dict={"normals": normals},
+                    normals_dict=normals_dict,
                 )
                 rec.images[i].priors = pri
                 rec.images[i].depth = pri.depth

@@ -18,7 +18,10 @@ from mpsfm_tpu.scene.reconstruction import Pose
 
 def _two_view_rec(rng, n_images=2):
     scene = PlaneScene(rng=rng, n_images=n_images, n_points=10, img_wh=(64, 48), focal=60.0)
-    rec, kps, matches, gt = scene.build(with_priors=True)
+    # the DC tests' premise is CORRECT depths (pose is the manipulated
+    # variable) — disable the per-image scale corruption, which would
+    # otherwise make the consistent case fail on its own
+    rec, kps, matches, gt = scene.build(with_priors=True, depth_scale_err_range=(1.0, 1.0))
     for i in range(n_images):
         rec.images[i].registered = True
         rec.images[i].pose = gt["poses"][i]
@@ -53,7 +56,7 @@ def test_dc_low_overlap_no_false_rejection(rng):
     scene = PlaneScene(
         rng=rng, n_images=2, n_points=10, img_wh=(64, 48), focal=60.0, baseline=1.1
     )
-    rec, kps, matches, gt = scene.build(with_priors=True)
+    rec, kps, matches, gt = scene.build(with_priors=True, depth_scale_err_range=(1.0, 1.0))
     for i in (0, 1):
         rec.images[i].registered = True
         rec.images[i].pose = gt["poses"][i]

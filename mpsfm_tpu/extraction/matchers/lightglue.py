@@ -90,6 +90,9 @@ class LightGlue:
             sd = torch.load(wp, map_location="cpu")
             if "state_dict" in sd:
                 sd = sd["state_dict"]
+            sd = self.normalize_torch_state_dict(
+                sd, n_layers=self.conf["n_layers"], dim=self.conf["dim"]
+            )
             # manifest check only at the official architecture size
             if (self.conf["dim"], self.conf["num_heads"], self.conf["n_layers"]) == (256, 4, 9):
                 from mpsfm_tpu.extraction.manifest import check_state_dict
@@ -144,8 +147,43 @@ class LightGlue:
         self.params = jax.tree.map(jnp.asarray, p)
 
     @staticmethod
+    def normalize_torch_state_dict(sd, n_layers=9, dim=256):
+        """Bring the RELEASED superpoint_lightglue.pth naming onto the
+        post-rename layout this port (and the pinned manifest) uses.
+
+        The official checkpoint stores the old module names
+        ``self_attn.{i}.*`` / ``cross_attn.{i}.*``; the upstream loader
+        renames them to ``transformers.{i}.self_attn.*`` /
+        ``transformers.{i}.cross_attn.*`` at load time. It also has NO
+        ``input_proj`` (nn.Identity when input_dim == descriptor_dim):
+        synthesize the identity weights so the manifest check and the
+        converter see the full post-rename surface."""
+        import numpy as np
+
+        out = dict(sd)
+        for i in range(n_layers):
+            for old, new in (
+                (f"self_attn.{i}.", f"transformers.{i}.self_attn."),
+                (f"cross_attn.{i}.", f"transformers.{i}.cross_attn."),
+            ):
+                for k in list(out):
+                    if k.startswith(old):
+                        out[new + k[len(old):]] = out.pop(k)
+        if "input_proj.weight" not in out:
+            qkv = out.get("transformers.0.self_attn.Wqkv.weight")
+            if qkv is not None:
+                dim = int(np.shape(qkv)[-1])
+            out["input_proj.weight"] = np.eye(dim, dtype=np.float32)
+            out["input_proj.bias"] = np.zeros(dim, np.float32)
+        return out
+
+    @staticmethod
     def params_from_torch_state_dict(sd, n_layers=9):
-        """Map the official lightglue checkpoint onto the param dict."""
+        """Map the official lightglue checkpoint onto the param dict.
+
+        Accepts either the released (pre-rename) or the normalized
+        naming — normalize_torch_state_dict is applied idempotently."""
+        sd = LightGlue.normalize_torch_state_dict(sd, n_layers=n_layers)
 
         def dense(prefix):
             return {

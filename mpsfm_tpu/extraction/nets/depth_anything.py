@@ -151,13 +151,17 @@ class DepthAnythingV2:
                 sd = sd["state_dict"]
             if "model" in sd:
                 sd = sd["model"]
-            self.params = self.params_from_torch_state_dict(sd)
             # manifest check only at the official architecture size
             official = all(self.conf.get(k) == v for k, v in MODEL_CONFIGS[enc].items())
             if enc == "vitl" and official:
-                from mpsfm_tpu.extraction.manifest import check_state_dict
+                from mpsfm_tpu.extraction.manifest import convert_checked
 
-                check_state_dict(self.params, "depthanythingv2-vitl", where=str(wp))
+                self.params = convert_checked(
+                    self.params_from_torch_state_dict, sd,
+                    "depthanythingv2-vitl", where=str(wp),
+                )
+            else:
+                self.params = self.params_from_torch_state_dict(sd)
         self._jit_fwd = jax.jit(self._forward, static_argnames=("patch_hw",))
 
     # ------------------------------------------------------------- params

@@ -101,15 +101,18 @@ class DSINE:
             for key in ("model_state_dict", "state_dict", "model"):
                 if isinstance(sd, dict) and key in sd:
                     sd = sd[key]
-            self.params = self.params_from_torch_state_dict(sd)
             # manifest check only at the official architecture size
             official = self.conf["stages"] == tuple(
                 tuple(s) for s in efficientnet_stages(1.6, 2.2)
             ) and self.conf["head"] == 2048
             if official:
-                from mpsfm_tpu.extraction.manifest import check_state_dict
+                from mpsfm_tpu.extraction.manifest import convert_checked
 
-                check_state_dict(self.params, "dsine", where=str(wp))
+                self.params = convert_checked(
+                    self.params_from_torch_state_dict, sd, "dsine", where=str(wp)
+                )
+            else:
+                self.params = self.params_from_torch_state_dict(sd)
         self._jit_fwd = jax.jit(self._forward)
 
     # ------------------------------------------------------------- params

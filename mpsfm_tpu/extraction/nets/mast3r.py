@@ -112,12 +112,15 @@ class Mast3rNet:
             for key in ("model", "state_dict"):
                 if isinstance(sd, dict) and key in sd:
                     sd = sd[key]
-            self.params = self.params_from_torch_state_dict(sd)
             # manifest check only at the official architecture size
             if self.conf == MODEL_CONFIG:
-                from mpsfm_tpu.extraction.manifest import check_state_dict
+                from mpsfm_tpu.extraction.manifest import convert_checked
 
-                check_state_dict(self.params, "mast3r", where=str(wp))
+                self.params = convert_checked(
+                    self.params_from_torch_state_dict, sd, "mast3r", where=str(wp)
+                )
+            else:
+                self.params = self.params_from_torch_state_dict(sd)
         self._jit_fwd = jax.jit(self._forward, static_argnames=("patch_hw",))
 
     # ------------------------------------------------------------- params

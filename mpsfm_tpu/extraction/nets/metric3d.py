@@ -122,16 +122,20 @@ class Metric3Dv2:
             for key in ("model_state_dict", "state_dict", "model"):
                 if isinstance(sd, dict) and key in sd:
                     sd = sd[key]
-            self.params = self.params_from_torch_state_dict(sd)
             tag = {"vit_small_reg": "small", "vit_large_reg": "large",
                    "vit_giant2_reg": "giant2"}.get(enc)
             # manifest check only at the official architecture size
             # (tests load tiny spec-twin checkpoints through this path)
             official = all(self.conf.get(k) == v for k, v in MODEL_CONFIGS[enc].items())
             if tag and official:
-                from mpsfm_tpu.extraction.manifest import check_state_dict
+                from mpsfm_tpu.extraction.manifest import convert_checked
 
-                check_state_dict(self.params, f"metric3dv2-{tag}", where=str(wp))
+                self.params = convert_checked(
+                    self.params_from_torch_state_dict, sd,
+                    f"metric3dv2-{tag}", where=str(wp),
+                )
+            else:
+                self.params = self.params_from_torch_state_dict(sd)
         self._jit_fwd = jax.jit(self._forward, static_argnames=("patch_hw",))
 
     # ------------------------------------------------------------- params

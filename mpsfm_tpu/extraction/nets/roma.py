@@ -99,14 +99,18 @@ class RomaNet:
                 dsd = torch.load(dv, map_location="cpu")
                 if isinstance(dsd, dict) and "model" in dsd:
                     dsd = dsd["model"]
-            self.params = self.params_from_torch_state_dict(sd, dsd)
             # manifest check only at the official architecture size
             if self.conf == MODEL_CONFIG:
-                from mpsfm_tpu.extraction.manifest import check_state_dict
+                from mpsfm_tpu.extraction.manifest import convert_checked
 
                 # dinov2 ships as a separate file; require it when given
                 name = "roma" if dv else "roma-outdoor"
-                check_state_dict(self.params, name, where=str(wp))
+                self.params = convert_checked(
+                    lambda s: self.params_from_torch_state_dict(s, dsd),
+                    sd, name, where=str(wp),
+                )
+            else:
+                self.params = self.params_from_torch_state_dict(sd, dsd)
         self._jit_fwd = jax.jit(self._forward, static_argnames=("hw",))
 
     # ------------------------------------------------------------- params

@@ -33,10 +33,8 @@ def _sync(x):
     tunneled backend — PERF.md environment facts)."""
     import jax
 
-    leaves = jax.tree_util.tree_leaves(x)
-    for leaf in leaves:
+    for leaf in jax.tree_util.tree_leaves(x):
         np.asarray(leaf)
-        break
     return x
 
 

@@ -174,10 +174,11 @@ def test_homography_pose_recovery_planar(rng):
 
 def test_ransac_pnp_on_coplanar_points(rng):
     """Regression (round 4): EXACTLY coplanar 3D points — the 6-pt DLT
-    nullspace is 2-D and the plain smallest-vector hypothesis returns ~0
-    inliers — the nullspace is 4-D: P + qπᵀ (found live: lifted clouds from INTEGRATED depth are
-    near-exactly planar; cv2 P3P got 148/156 while ransac_pnp got 0).
-    The planar-safe rank-2 nullspace completion must recover the pose."""
+    nullspace is 4-D (P + qπᵀ for the plane π), so the plain
+    smallest-vector hypothesis returns ~0 inliers (found live: lifted
+    clouds from INTEGRATED depth are near-exactly planar; cv2 P3P got
+    148/156 while ransac_pnp got 0). The homography-based planar
+    hypothesis family must recover the pose."""
     pose1, pose2, pts, px1, px2 = make_scene(rng, n=200, planar=True)
     xy2 = np.array(cam_from_img(CAM, px2))
     xy2 += rng.normal(scale=0.5 / 500.0, size=xy2.shape)

@@ -1,6 +1,7 @@
 """Benchmark: prior-regularized bundle-adjustment throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "median",
+"iqr", "runs"}.
 
 The metric is LM iterations/second on a standard synthetic bundle
 (64 cameras x 8192 points, ~100k reprojection + 26k depth observations)
@@ -11,6 +12,12 @@ LM, identical residuals/losses, full-work iterations, all host cores),
 recorded in BASELINE_CPU.json and BASELINE.md. Fallback if the
 measurement file is absent: a conservative 5.0 iters/s Ceres-class
 constant.
+
+Variance discipline (VERDICT r4): session/tunnel variance on the axon
+backend is ±20%, which swamped round-over-round deltas. The bench now
+times >=7 independent solves and reports the MEDIAN (headline value)
+plus the interquartile range, so a regression claim needs to clear the
+dispersion bar.
 """
 
 import json
@@ -34,7 +41,6 @@ def cpu_baseline():
 def main():
     from __graft_entry__ import _synthetic_ba_data
     from mpsfm_tpu.ba.dense import densify, solve_ba_dense
-    import jax
 
     n_cams, n_pts = 64, 8192
     data = densify(_synthetic_ba_data(n_cams=n_cams, n_pts=n_pts), n_cams, n_pts)
@@ -51,20 +57,26 @@ def main():
         return float(np.asarray(xyz).sum())
 
     run_once()  # compile
-    t0 = time.time()
-    runs = 3
+    run_once()  # one discarded warm run (first post-compile call can drag)
+    runs = 7
+    samples = []
     for _ in range(runs):
+        t0 = time.time()
         run_once()
-    dt = (time.time() - t0) / runs
-    iters_per_s = max_iters / dt
+        samples.append(max_iters / (time.time() - t0))
+    median = float(np.median(samples))
+    q75, q25 = np.percentile(samples, [75, 25])
 
     print(
         json.dumps(
             {
                 "metric": "ba_lm_iters_per_s_64cam_8kpts",
-                "value": round(iters_per_s, 2),
+                "value": round(median, 2),
                 "unit": "LM iters/s",
-                "vs_baseline": round(iters_per_s / cpu_baseline(), 2),
+                "vs_baseline": round(median / cpu_baseline(), 2),
+                "median": round(median, 2),
+                "iqr": round(float(q75 - q25), 2),
+                "runs": runs,
             }
         )
     )

@@ -102,6 +102,10 @@ class ReconstructionManager(BaseClass):
         out = self.sfm_outputs_dir
         with TIMERS.phase("pipe.outputs"):
             colmap_io.write_text(rec, out)
+            # standard COLMAP binary model alongside the text one — the
+            # reference writes binary via pycolmap (scene/reconstruction/
+            # base.py:135-141); downstream COLMAP tooling defaults to it
+            colmap_io.write_binary(rec, out)
             colmap_io.write_depths(rec, out / "depths.h5")
         if self.conf.verbose >= 1:
             from mpsfm_tpu.utils.viz import write_scene_html

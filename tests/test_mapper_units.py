@@ -162,6 +162,41 @@ def test_colmap_io_roundtrip(tmp_path, rng):
     assert rec2.cameras[1].fx == rec.cameras[1].fx
 
 
+def test_colmap_binary_roundtrip(tmp_path, rng):
+    """COLMAP *binary* model write/read (VERDICT r4 item 4a): byte-level
+    round-trip — text and binary writers must agree, and re-writing the
+    read-back reconstruction must reproduce identical bytes."""
+    from mpsfm_tpu.utils.colmap_io import read_binary, write_binary
+
+    rec, gt = make_synthetic_rec(rng, n_cams=3, n_pts=30, noise_px=0.0, pose_noise=0.0)
+    d1 = tmp_path / "a"
+    write_binary(rec, d1)
+    rec2 = read_binary(d1)
+    assert len(rec2.registered_images) == 3
+    for i in range(3):
+        np.testing.assert_allclose(rec2.images[i].pose.q, rec.images[i].pose.q, atol=1e-12)
+        np.testing.assert_allclose(rec2.images[i].pose.t, rec.images[i].pose.t, atol=1e-12)
+        assert rec2.images[i].name == rec.images[i].name
+    assert rec2.cameras[1].fx == rec.cameras[1].fx
+    # point set + tracks survive (ids may be renumbered densely)
+    xyz1 = np.sort(np.asarray([rec.xyz[p] for p in rec.point_ids()]), axis=0)
+    xyz2 = np.sort(np.asarray([rec2.xyz[p] for p in rec2.point_ids()]), axis=0)
+    np.testing.assert_allclose(xyz2, xyz1, atol=1e-12)
+    assert sum(len(rec2.tracks[p]) for p in rec2.point_ids()) == sum(
+        len(rec.tracks[p]) for p in rec.point_ids()
+    )
+    # byte-level: write(read(write(rec))) == write(rec)
+    d2 = tmp_path / "b"
+    write_binary(rec2, d2)
+    for name in ("cameras.bin", "images.bin", "points3D.bin"):
+        assert (d2 / name).read_bytes() == (d1 / name).read_bytes(), name
+    # text and binary writers agree on poses (parse text back)
+    write_text(rec, d1)
+    rec3 = read_text(d1)
+    for i in range(3):
+        np.testing.assert_allclose(rec3.images[i].pose.q, rec2.images[i].pose.q, atol=1e-9)
+
+
 def test_dc_pre_fail_logic(rng):
     """pre_fail skips candidates whose previous DC score exceeds the
     threshold (reference base.py:364-366 + the documented intent of the

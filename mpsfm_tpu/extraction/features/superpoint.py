@@ -137,6 +137,9 @@ class SuperPoint:
         self.net = SuperPointNet()
         self.params = None
         wp = self.conf.get("weights_path")
+        from mpsfm_tpu.extraction.weights import maybe_resolve
+
+        wp = maybe_resolve(wp)
         if wp:
             import torch
 

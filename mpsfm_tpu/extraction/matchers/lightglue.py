@@ -84,6 +84,9 @@ class LightGlue:
         self.conf = {**self.default_conf, **(conf or {})}
         self.params = None
         wp = self.conf.get("weights_path")
+        from mpsfm_tpu.extraction.weights import maybe_resolve
+
+        wp = maybe_resolve(wp)
         if wp:
             import torch
 

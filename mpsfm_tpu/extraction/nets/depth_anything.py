@@ -143,6 +143,9 @@ class DepthAnythingV2:
                      **{k: v for k, v in conf.items() if k in MODEL_CONFIGS[enc]}}
         self.params = None
         wp = conf.get("weights_path")
+        from mpsfm_tpu.extraction.weights import maybe_resolve
+
+        wp = maybe_resolve(wp)
         if wp:
             import torch
 

@@ -94,6 +94,9 @@ class DSINE:
         }
         self.params = None
         wp = conf.get("weights_path")
+        from mpsfm_tpu.extraction.weights import maybe_resolve
+
+        wp = maybe_resolve(wp)
         if wp:
             import torch
 

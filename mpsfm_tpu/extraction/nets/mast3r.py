@@ -105,6 +105,9 @@ class Mast3rNet:
         self.conf = {**MODEL_CONFIG, **{k: v for k, v in conf.items() if k in MODEL_CONFIG}}
         self.params = None
         wp = conf.get("weights_path")
+        from mpsfm_tpu.extraction.weights import maybe_resolve
+
+        wp = maybe_resolve(wp)
         if wp:
             import torch
 

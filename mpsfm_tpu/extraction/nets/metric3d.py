@@ -115,6 +115,9 @@ class Metric3Dv2:
         }
         self.params = None
         wp = conf.get("weights_path")
+        from mpsfm_tpu.extraction.weights import maybe_resolve
+
+        wp = maybe_resolve(wp)
         if wp:
             import torch
 

@@ -104,6 +104,9 @@ class ViTMonoBackend:
         )
         self.params = None
         wp = conf.get("weights_path")
+        from mpsfm_tpu.extraction.weights import maybe_resolve
+
+        wp = maybe_resolve(wp)
         if wp:
             self.params = load_mono_params(wp, self.net)
         self._fwd = jax.jit(lambda p, x: self.net.apply(p, x))

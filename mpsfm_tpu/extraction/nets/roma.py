@@ -86,6 +86,9 @@ class RomaNet:
         self.conf = {**MODEL_CONFIG, **{k: v for k, v in conf.items() if k in MODEL_CONFIG}}
         self.params = None
         wp = conf.get("weights_path")
+        from mpsfm_tpu.extraction.weights import maybe_resolve
+
+        wp = maybe_resolve(wp)
         if wp:
             import torch
 
@@ -93,7 +96,7 @@ class RomaNet:
             for key in ("model", "state_dict"):
                 if isinstance(sd, dict) and key in sd:
                     sd = sd[key]
-            dv = conf.get("dinov2_weights_path")
+            dv = maybe_resolve(conf.get("dinov2_weights_path"))
             dsd = {}
             if dv:
                 dsd = torch.load(dv, map_location="cpu")

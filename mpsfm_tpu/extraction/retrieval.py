@@ -80,6 +80,9 @@ class NetVLAD:
         self.conf = {**self.default_conf, **(conf or {})}
         self.params = None
         wp = self.conf.get("weights_path")
+        from mpsfm_tpu.extraction.weights import maybe_resolve
+
+        wp = maybe_resolve(wp)
         if wp:
             self.params = self.load_weights(wp)
         self._fwd = jax.jit(self._forward)

@@ -144,6 +144,14 @@ class Optimizer(BaseClass):
         if not np.isfinite(cost):
             return None, False
         P_n = int(np.asarray(prob.data.xyz).shape[0])
+        if jax.process_count() > 1:
+            # multi-host: the point shards live partly on other processes;
+            # all-gather to a replicated array before the host read
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            xyz_sh = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, PartitionSpec()))(
+                xyz_sh
+            )
         xyz = unpartition_points(np.asarray(xyz_sh), pids, P_n)
         apply_ba_result(self.rec, prob, np.asarray(quat), np.asarray(t), xyz)
         self.log(

@@ -239,6 +239,46 @@ def partition_ba_data(data: BAData, n_shards: int):
         },
         "shard": {k: np.stack(v) for k, v in sharded.items()},
     }
+
+    # Explicit block-sparse Schur structure (VERDICT r4 item 3): build
+    # per-shard pair tables with a GLOBAL camera-pair block adjacency so
+    # psum(G_shard) reproduces the single-device explicit S exactly
+    # (ba/schur_sparse.py — 3x the dense-coupling path at 512 cams
+    # single-device). Falls back to the dense T path when too large.
+    import os
+
+    if os.environ.get("MPSFM_DIST_BS", "1") == "0":  # A/B + fallback gate
+        return parts, point_ids
+
+    from mpsfm_tpu.ba.schur_sparse import make_block_schur_tables_sharded
+
+    shard_obs = [
+        {
+            "r_pt": parts["shard"]["r_pt"][s], "r_cam": parts["shard"]["r_cam"][s],
+            "r_valid": parts["shard"]["r_valid"][s],
+            "d_pt": parts["shard"]["d_pt"][s], "d_cam": parts["shard"]["d_cam"][s],
+            "d_valid": parts["shard"]["d_valid"][s],
+        }
+        for s in range(n_shards)
+    ]
+    bs_built = make_block_schur_tables_sharded(shard_obs, Pl, C)
+    if bs_built is not None:
+        per_shard, shared = bs_built
+        for key in ("uni_slots", "uni_mask", "pm_cam", "cam_slots", "cam_mask"):
+            parts["shard"]["bs_" + key] = np.stack([ps[key] for ps in per_shard])
+        nb = len(per_shard[0]["con_a"])
+        parts["n_bs_buckets"] = nb
+        for i in range(nb):
+            for key in ("con_a", "con_b", "con_mask"):
+                parts["shard"][f"bs_{key}{i}"] = np.stack(
+                    [ps[key][i] for ps in per_shard]
+                )
+        for key, v in shared.items():
+            parts["repl"]["bs_" + key] = v
+        # the dense (Pl, C, 6, 3) T coupling table is superseded — drop
+        # the pc slot tables so _assemble_ne skips building it
+        for key in ("pc_r_slot", "pc_r_mask", "pc_d_slot", "pc_d_mask"):
+            del parts["shard"][key]
     return parts, point_ids
 
 
@@ -266,8 +306,27 @@ def _local_ba_data(repl, shard) -> BAData:
         d_valid=shard["d_valid"], d_mag=shard["d_mag"], d_scale=shard["d_scale"],
         r_pt_slots=shard["r_pt_slots"], r_pt_slot_mask=shard["r_pt_slot_mask"],
         d_pt_slots=shard["d_pt_slots"], d_pt_slot_mask=shard["d_pt_slot_mask"],
-        pc_r_slot=shard["pc_r_slot"], pc_r_mask=shard["pc_r_mask"],
-        pc_d_slot=shard["pc_d_slot"], pc_d_mask=shard["pc_d_mask"],
+        pc_r_slot=shard.get("pc_r_slot"), pc_r_mask=shard.get("pc_r_mask"),
+        pc_d_slot=shard.get("pc_d_slot"), pc_d_mask=shard.get("pc_d_mask"),
+    )
+
+
+def _local_bs_tables(repl, shard, n_buckets):
+    """Reassemble a BlockSchurTables view from the split repl/shard dicts
+    (shared adjacency replicated, pair tables shard-local)."""
+    from mpsfm_tpu.ba.schur_sparse import BlockSchurTables
+
+    return BlockSchurTables(
+        uni_slots=shard["bs_uni_slots"], uni_mask=shard["bs_uni_mask"],
+        con_a=tuple(shard[f"bs_con_a{i}"] for i in range(n_buckets)),
+        con_b=tuple(shard[f"bs_con_b{i}"] for i in range(n_buckets)),
+        con_mask=tuple(shard[f"bs_con_mask{i}"] for i in range(n_buckets)),
+        blk_rows=repl["bs_blk_rows"], blk_cols=repl["bs_blk_cols"],
+        diag_ids=repl["bs_diag_ids"], diag_mask=repl["bs_diag_mask"],
+        row_slots=repl["bs_row_slots"], row_mask=repl["bs_row_mask"],
+        colT_slots=repl["bs_colT_slots"], colT_mask=repl["bs_colT_mask"],
+        pm_cam=shard["bs_pm_cam"],
+        cam_slots=shard["bs_cam_slots"], cam_mask=shard["bs_cam_mask"],
     )
 
 
@@ -287,6 +346,13 @@ def solve_ba_block_sharded(
     with unpartition_points. Camera state and the LM control flow are
     replicated; all cross-shard reductions are explicit psums.
     """
+    from mpsfm_tpu.ba.schur_sparse import (
+        build_schur_blocks,
+        pm_backsub,
+        pm_coupling_table,
+        pm_reduced_rhs,
+        schur_cg_blocks,
+    )
     from mpsfm_tpu.ba.solver import (
         _apply_cam_update,
         _assemble_ne,
@@ -300,11 +366,14 @@ def solve_ba_block_sharded(
     # cross-replica traffic.
     axis = mesh.axis_names[-1]
     dtype = jnp.float32
+    n_bs_buckets = parts.get("n_bs_buckets", 0)
+    use_bs = n_bs_buckets > 0 and "bs_uni_slots" in parts["shard"]
 
     def body(repl, shard):
         repl = jax.tree.map(lambda x: x, repl)
         shard = jax.tree.map(lambda x: x[0], shard)  # local block
         ld = _local_ba_data(repl, shard)
+        bs = _local_bs_tables(repl, shard, n_bs_buckets) if use_bs else None
         C = ld.quat.shape[0]
         Pl = ld.xyz.shape[0]
         No, Nd = ld.r_cam.shape[0], ld.d_cam.shape[0]
@@ -320,8 +389,6 @@ def solve_ba_block_sharded(
             Hcc_l, Hpp, g_c_l, g_p, Wr_rows, Wd_rows, T = ne
             Hcc = jax.lax.psum(Hcc_l, axis)
             g_c = jax.lax.psum(g_c_l, axis)
-            Wr = Wr_rows.reshape(No, 6, 3)
-            Wd = Wd_rows.reshape(Nd, 6, 3)
 
             dc = jnp.einsum("cii->ci", Hcc)
             dp = jnp.einsum("pii->pi", Hpp)
@@ -335,35 +402,53 @@ def solve_ba_block_sharded(
             ) * eye3
             Hpp_inv = inv3x3(Hpp_aug)
 
-            hp = jnp.einsum("pij,pj->pi", Hpp_inv, g_p)
-            red_r = (Wr * hp[ld.r_pt][:, None, :]).sum(-1).reshape(C, -1, 6).sum(1)
-            red_d = (Wd * hp[ld.d_pt][:, None, :]).sum(-1).reshape(C, -1, 6).sum(1)
-            rhs = -(g_c - jax.lax.psum(red_r + red_d, axis))
+            if use_bs:
+                # explicit block-sparse S (ba/schur_sparse.py): each shard
+                # builds its pair blocks against the GLOBAL adjacency and
+                # ONE psum(G) replicates the full covisibility structure —
+                # O(B·36) traffic and ~obs·pairs·108 flops instead of the
+                # dense (6C,3Pl)x(3Pl,6C) contraction per shard
+                Vpm = pm_coupling_table(Wr_rows, Wd_rows, bs)
+                G = jax.lax.psum(build_schur_blocks(Vpm, Hpp_inv, bs), axis)
+                red_l, hp = pm_reduced_rhs(Vpm, Hpp_inv, jnp.zeros_like(g_c), g_p, bs)
+                rhs = -(g_c - jax.lax.psum(red_l, axis))
+                delta_c, _cg_used = schur_cg_blocks(
+                    G, bs, Hcc_aug, rhs, max(64, 2 * C), 1e-3
+                )
+                delta_c = delta_c * ld.cam_dof
+                delta_p = pm_backsub(Vpm, Hpp_inv, g_p, delta_c, ld.point_var, bs)
+            else:
+                Wr = Wr_rows.reshape(No, 6, 3)
+                Wd = Wd_rows.reshape(Nd, 6, 3)
+                hp = jnp.einsum("pij,pj->pi", Hpp_inv, g_p)
+                red_r = (Wr * hp[ld.r_pt][:, None, :]).sum(-1).reshape(C, -1, 6).sum(1)
+                red_d = (Wd * hp[ld.d_pt][:, None, :]).sum(-1).reshape(C, -1, 6).sum(1)
+                rhs = -(g_c - jax.lax.psum(red_r + red_d, axis))
 
-            # local dense Schur contribution + psum -> replicated 6Cx6C
-            U = T.reshape(Pl, C * 6, 3)
-            TB = jnp.einsum("pkl,plm->pkm", U, Hpp_inv)
-            S_red_l = jax.lax.dot_general(
-                TB, U, dimension_numbers=(((0, 2), (0, 2)), ((), ())),
-                preferred_element_type=dtype,
-            )
-            S_red = jax.lax.psum(S_red_l, axis)
-            Hcc_full = jnp.zeros((C, 6, C, 6), dtype)
-            ii = jnp.arange(C)
-            Hcc_full = Hcc_full.at[ii, :, ii, :].set(Hcc_aug).reshape(6 * C, 6 * C)
-            S = Hcc_full - S_red
-            chol = jax.scipy.linalg.cho_factor(S + 1e-7 * jnp.eye(6 * C, dtype=dtype))
-            delta_c = jax.scipy.linalg.cho_solve(chol, rhs.reshape(6 * C)).reshape(C, 6)
-            delta_c = delta_c * ld.cam_dof
+                # local dense Schur contribution + psum -> replicated 6Cx6C
+                U = T.reshape(Pl, C * 6, 3)
+                TB = jnp.einsum("pkl,plm->pkm", U, Hpp_inv)
+                S_red_l = jax.lax.dot_general(
+                    TB, U, dimension_numbers=(((0, 2), (0, 2)), ((), ())),
+                    preferred_element_type=dtype,
+                )
+                S_red = jax.lax.psum(S_red_l, axis)
+                Hcc_full = jnp.zeros((C, 6, C, 6), dtype)
+                ii = jnp.arange(C)
+                Hcc_full = Hcc_full.at[ii, :, ii, :].set(Hcc_aug).reshape(6 * C, 6 * C)
+                S = Hcc_full - S_red
+                chol = jax.scipy.linalg.cho_factor(S + 1e-7 * jnp.eye(6 * C, dtype=dtype))
+                delta_c = jax.scipy.linalg.cho_solve(chol, rhs.reshape(6 * C)).reshape(C, 6)
+                delta_c = delta_c * ld.cam_dof
 
-            # local back-substitution
-            dce = jnp.broadcast_to(delta_c[:, None, :], (C, No // C, 6)).reshape(No, 6)
-            dde = jnp.broadcast_to(delta_c[:, None, :], (C, Nd // C, 6)).reshape(Nd, 6)
-            wtd_r = (Wr * dce[:, :, None]).sum(1)
-            wtd_d = (Wd * dde[:, :, None]).sum(1)
-            wtd = (wtd_r[ld.r_pt_slots] * ld.r_pt_slot_mask[..., None]).sum(1)
-            wtd = wtd + (wtd_d[ld.d_pt_slots] * ld.d_pt_slot_mask[..., None]).sum(1)
-            delta_p = -jnp.einsum("pij,pj->pi", Hpp_inv, g_p + wtd) * ld.point_var[:, None]
+                # local back-substitution
+                dce = jnp.broadcast_to(delta_c[:, None, :], (C, No // C, 6)).reshape(No, 6)
+                dde = jnp.broadcast_to(delta_c[:, None, :], (C, Nd // C, 6)).reshape(Nd, 6)
+                wtd_r = (Wr * dce[:, :, None]).sum(1)
+                wtd_d = (Wd * dde[:, :, None]).sum(1)
+                wtd = (wtd_r[ld.r_pt_slots] * ld.r_pt_slot_mask[..., None]).sum(1)
+                wtd = wtd + (wtd_d[ld.d_pt_slots] * ld.d_pt_slot_mask[..., None]).sum(1)
+                delta_p = -jnp.einsum("pij,pj->pi", Hpp_inv, g_p + wtd) * ld.point_var[:, None]
 
             quat_new, t_new = _apply_cam_update(quat, t, delta_c)
             xyz_new = xyz + delta_p
@@ -399,8 +484,7 @@ def solve_ba_block_sharded(
     fn = _shard_map(
         body,
         mesh,
-        in_specs=({"quat": _P(), "t": _P(), "cam_dof": _P(), "fx": _P(), "fy": _P(),
-                   "cx": _P(), "cy": _P()},
+        in_specs=(jax.tree.map(lambda _: _P(), parts["repl"]),
                   jax.tree.map(lambda _: _P(axis), parts["shard"])),
         out_specs=(_P(), _P(), _P(axis), _P(), _P(), _P(), _P()),
     )

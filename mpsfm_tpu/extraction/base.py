@@ -292,8 +292,11 @@ class Extraction(BaseClass):
         )
         todo = [p for p in pairs if io.names_to_pair(*p) not in existing]
         if isinstance(matcher, LightGlue):
-            # batched-pairs path: all pairs stream through the MXU in a few
-            # bucketed (B, N0, N1) programs — no per-pair host round-trips
+            # image-major batched path: each image's features upload ONCE
+            # into a device table and pair chunks gather by index inside
+            # jit (match_pairs' per-pair operand assembly re-uploaded each
+            # image's descriptors for every one of its ~12 retrieval
+            # pairs — a 24x-redundant payload through the tunnel)
             sizes = {}
 
             def size(name):
@@ -301,8 +304,13 @@ class Extraction(BaseClass):
                     sizes[name] = io.read_image(self.scene_parser.image_path(name), True).shape[::-1]
                 return sizes[name]
 
-            batch = [(*feat(n0), size(n0), *feat(n1), size(n1)) for n0, n1 in todo]
-            outs = matcher.match_pairs(batch)
+            names = sorted({n for p in todo for n in p})
+            idx_of = {n: i for i, n in enumerate(names)}
+            outs = matcher.match_pairs_from_table(
+                [feat(n) for n in names],
+                [size(n) for n in names],
+                [(idx_of[a], idx_of[b]) for a, b in todo],
+            )
             for (name0, name1), out in zip(todo, outs):
                 writer.put((name0, name1, out["matches0"], out["matching_scores0"]))
                 self.log(f"matches {name0}-{name1}: {(out['matches0'] >= 0).sum()}", level=2)

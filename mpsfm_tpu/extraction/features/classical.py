@@ -252,11 +252,16 @@ class ClassicalFeatures:
         c = self.conf
 
         def fn(imgs):
-            return jax.vmap(
+            kps, vals, desc, valid = jax.vmap(
                 lambda im: _detect_describe(
                     im, c["max_keypoints"], c["nms_radius"], c["detection_threshold"], c["patch"]
                 )
             )(imgs)
+            # fp16 descriptors for the device->host transfer: the padded
+            # (B, max_kp, 256) f32 table is the dominant payload through
+            # the ~30 MB/s tunnel (the hloc cache schema stores fp16
+            # anyway, so nothing downstream loses precision it keeps)
+            return kps, vals, desc.astype(jnp.float16), valid
 
         return fn
 
@@ -267,5 +272,5 @@ class ClassicalFeatures:
         return {
             "keypoints": np.asarray(kps)[keep],
             "scores": np.asarray(vals)[keep],
-            "descriptors": np.asarray(desc)[keep],
+            "descriptors": np.asarray(desc)[keep].astype(np.float32),
         }

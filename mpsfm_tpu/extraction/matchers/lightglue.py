@@ -37,6 +37,16 @@ def normalize_keypoints(kps, wh):
     return (kps - c) / f
 
 
+def normalize_keypoints_np(kps, wh):
+    """Host twin of normalize_keypoints — batch-assembly loops must not
+    issue per-pair eager device ops (each costs ~2 tunnel round trips;
+    measured ~57 s of pure normalization latency over a 354-pair run)."""
+    size = np.asarray(wh, np.float32)
+    c = size / 2.0
+    f = size.max() / 2.0
+    return (np.asarray(kps, np.float32) - c) / f
+
+
 def apply_rotary(x, enc):
     """x (B,N,H,D) interleaved rotation by enc=(cos,sin) (B,N,D/2)."""
     cos, sin = enc
@@ -104,15 +114,26 @@ class LightGlue:
             self.params = self.params_from_torch_state_dict(sd)
         if self.conf["dtype"] == "bfloat16":
 
-            def fwd(params, k0, k1, d0, d1, m0, m1):
+            def raw_fwd(params, k0, k1, d0, d1, m0, m1):
                 bf = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
                 with jax.default_matmul_precision("default"):
                     scores = self._forward(bf(params), bf(k0), bf(k1), bf(d0), bf(d1), m0, m1)
                 return scores.astype(jnp.float32)
 
-            self._jit_fwd = jax.jit(fwd)
         else:
-            self._jit_fwd = jax.jit(self._forward)
+            raw_fwd = self._forward
+        self._jit_fwd = jax.jit(raw_fwd)
+
+        def fwd_extract(params, k0, k1, d0, d1, m0, m1):
+            # forward + DEVICE-SIDE match extraction: transferring the raw
+            # (B,N0,N1) score matrices costs ~16 MB/pair through the
+            # ~30 MB/s tunnel and was measured to collapse the batched
+            # matcher from 166 to 0.7 pairs/s end to end — only the
+            # (B,N0) match rows may cross the link.
+            scores = raw_fwd(params, k0, k1, d0, d1, m0, m1)
+            return self._device_extract(scores, m0, m1, self.conf["filter_threshold"])
+
+        self._jit_fwd_extract = jax.jit(fwd_extract)
 
     # ---------- parameter handling ----------
     def init_random(self, seed=0):
@@ -480,24 +501,108 @@ class LightGlue:
             for j, i in enumerate(idxs):
                 k0, d0, wh0, k1, d1, wh1 = pairs[i]
                 n0, n1 = len(k0), len(k1)
-                K0[j, :n0] = np.asarray(normalize_keypoints(jnp.asarray(k0, jnp.float32), wh0))
-                K1[j, :n1] = np.asarray(normalize_keypoints(jnp.asarray(k1, jnp.float32), wh1))
+                K0[j, :n0] = normalize_keypoints_np(k0, wh0)
+                K1[j, :n1] = normalize_keypoints_np(k1, wh1)
                 D0[j, :n0] = d0
                 D1[j, :n1] = d1
                 m0[j, :n0] = True
                 m1[j, :n1] = True
-            scores = np.asarray(
-                self._jit_fwd(
-                    self.params,
-                    jnp.asarray(K0), jnp.asarray(K1),
-                    jnp.asarray(D0), jnp.asarray(D1),
-                    jnp.asarray(m0), jnp.asarray(m1),
-                ),
-                np.float32,
+            mm, ss = self._jit_fwd_extract(
+                self.params,
+                jnp.asarray(K0), jnp.asarray(K1),
+                jnp.asarray(D0), jnp.asarray(D1),
+                jnp.asarray(m0), jnp.asarray(m1),
             )
+            mm, ss = np.asarray(mm), np.asarray(ss)
             for j, i in enumerate(idxs):
-                n0, n1 = len(pairs[i][0]), len(pairs[i][3])
-                results[i] = self._extract_matches(scores[j, :n0, :n1])
+                n0 = len(pairs[i][0])
+                results[i] = {
+                    "matches0": mm[j, :n0].astype(np.int64),
+                    "matching_scores0": ss[j, :n0].astype(np.float64),
+                }
+        return results
+
+    @staticmethod
+    def _device_extract(scores, m0, m1, threshold):
+        """Jit-side mutual-argmax match extraction — the device twin of
+        ``_extract_matches`` over a padded masked batch. Returns
+        (matches0 (B,N0) int32, matching_scores0 (B,N0) f32)."""
+        neg = jnp.float32(-1e9)
+        s = jnp.where(m0[:, :, None] & m1[:, None, :], scores, neg)
+        best1 = jnp.argmax(s, 2)  # (B,N0)
+        best0 = jnp.argmax(s, 1)  # (B,N1)
+        mutual = jnp.take_along_axis(best0, best1, 1) == jnp.arange(s.shape[1])[None]
+        prob = jnp.exp(jnp.max(s, 2))
+        valid = mutual & (prob > threshold) & m0
+        return (
+            jnp.where(valid, best1, -1).astype(jnp.int32),
+            jnp.where(valid, prob, 0.0).astype(jnp.float32),
+        )
+
+    def match_pairs_from_table(self, feats, whs, pair_idx, chunk=64):
+        """Image-major batched matching: upload each image's keypoints/
+        descriptors ONCE into a device table and gather pair batches by
+        index INSIDE jit.
+
+        ``match_pairs`` uploads ~2 MB of descriptors per pair; with ~12
+        pairs/image from retrieval that is a ~24x redundant payload
+        through the ~30 MB/s tunnel (measured: 46 s of a 354-pair run).
+        Here the unique features cross the link once (fp16), and each
+        chunk's operands are device-side gathers.
+
+        feats: list of (kps (n,2), desc (n,D)) per image; whs: list of
+        (w, h); pair_idx: (P, 2) int array of image indices. Returns a
+        list of {matches0, matching_scores0} per pair."""
+        assert self.params is not None, "load weights or call init_random() first"
+        n_img = len(feats)
+        Nmax = self._bucket(max((len(k) for k, _ in feats), default=1))
+        D = feats[0][1].shape[1] if feats else self.conf["dim"]
+        # fp16 table: halves the one-time descriptor upload; the forward
+        # runs bf16 anyway. float32 for exactness-sensitive callers.
+        tdtype = np.dtype(self.conf.get("table_dtype", "float16"))
+        K = np.zeros((n_img, Nmax, 2), np.float32)
+        Dt = np.zeros((n_img, Nmax, D), tdtype)
+        M = np.zeros((n_img, Nmax), bool)
+        for i, ((kps, desc), wh) in enumerate(zip(feats, whs)):
+            n = len(kps)
+            K[i, :n] = normalize_keypoints_np(kps, wh)
+            Dt[i, :n] = desc.astype(tdtype)
+            M[i, :n] = True
+        K_dev, D_dev, M_dev = jnp.asarray(K), jnp.asarray(Dt), jnp.asarray(M)
+
+        if not hasattr(self, "_jit_table_match"):
+
+            def table_match(params, K_t, D_t, M_t, idx):
+                i0, i1 = idx[:, 0], idx[:, 1]
+                return self._jit_fwd_extract(
+                    params,
+                    K_t[i0], K_t[i1],
+                    D_t[i0].astype(jnp.float32), D_t[i1].astype(jnp.float32),
+                    M_t[i0], M_t[i1],
+                )
+
+            self._jit_table_match = jax.jit(table_match)
+
+        pair_idx = np.asarray(pair_idx, np.int32)
+        results = []
+        for c0 in range(0, len(pair_idx), chunk):
+            idx = pair_idx[c0 : c0 + chunk]
+            B = len(idx)
+            if B < chunk:  # pad to the bucket so one program serves all chunks
+                idx = np.concatenate([idx, np.zeros((chunk - B, 2), np.int32)])
+            mm, ss = self._jit_table_match(
+                self.params, K_dev, D_dev, M_dev, jnp.asarray(idx)
+            )
+            mm, ss = np.asarray(mm), np.asarray(ss)
+            for j in range(B):
+                a, b = pair_idx[c0 + j]
+                n0 = len(feats[a][0])
+                results.append(
+                    {
+                        "matches0": mm[j, :n0].astype(np.int64),
+                        "matching_scores0": ss[j, :n0].astype(np.float64),
+                    }
+                )
         return results
 
     def _extract_matches(self, scores):
@@ -523,8 +628,8 @@ class LightGlue:
         K1 = np.zeros((b1, 2), np.float32)
         D0 = np.zeros((b0, desc0.shape[1]), np.float32)
         D1 = np.zeros((b1, desc1.shape[1]), np.float32)
-        K0[:n0] = np.asarray(normalize_keypoints(jnp.asarray(kps0, jnp.float32), wh0))
-        K1[:n1] = np.asarray(normalize_keypoints(jnp.asarray(kps1, jnp.float32), wh1))
+        K0[:n0] = normalize_keypoints_np(kps0, wh0)
+        K1[:n1] = normalize_keypoints_np(kps1, wh1)
         D0[:n0] = desc0
         D1[:n1] = desc1
         m0 = np.zeros(b0, bool)

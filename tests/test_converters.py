@@ -281,6 +281,7 @@ def test_lightglue_torch_parity():
     np.testing.assert_allclose(np.asarray(scores[0]), t_scores[0, :N0, :N1], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_lightglue_padded_matches_unpadded():
     """Padding + masks must not change the scores of real keypoints."""
     from mpsfm_tpu.extraction.matchers.lightglue import LightGlue
@@ -397,6 +398,7 @@ def test_netvlad_torch_parity():
     np.testing.assert_allclose(out, ref, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_lightglue_batched_pairs_match_single():
     """match_pairs (bucketed (B,N0,N1) batches) reproduces per-pair calls."""
     from mpsfm_tpu.extraction.matchers.lightglue import LightGlue
@@ -415,6 +417,42 @@ def test_lightglue_batched_pairs_match_single():
     batched = lg.match_pairs(pairs)
     for p, out in zip(pairs, batched):
         single = lg(*p)
+        np.testing.assert_array_equal(out["matches0"], single["matches0"])
+        np.testing.assert_allclose(
+            out["matching_scores0"], single["matching_scores0"], atol=1e-5
+        )
+
+
+@pytest.mark.slow
+def test_lightglue_table_pairs_match_single():
+    """match_pairs_from_table (image-major device table + index gathers)
+    reproduces per-pair calls. fp16 table storage costs <1e-3 score
+    wiggle; match indices must be identical except at sub-threshold
+    margins."""
+    from mpsfm_tpu.extraction.matchers.lightglue import LightGlue
+
+    dim = 64
+    # float32 table isolates the gather/padding mechanism (the default
+    # fp16 table trades ~1e-2 score wiggle for half the one-time upload)
+    lg = LightGlue({"dim": dim, "num_heads": 4, "n_layers": 2, "table_dtype": "float32"})
+    lg.init_random(0)
+    rng = np.random.default_rng(2)
+    feats, whs = [], []
+    for n in (30, 41, 17, 23):
+        feats.append(
+            (
+                rng.uniform(0, 600, (n, 2)).astype(np.float32),
+                rng.normal(size=(n, dim)).astype(np.float32),
+            )
+        )
+        whs.append((640, 480))
+    pair_idx = [(0, 1), (2, 3), (1, 2), (3, 0), (0, 2)]
+    outs = lg.match_pairs_from_table(feats, whs, pair_idx, chunk=4)
+    assert len(outs) == len(pair_idx)
+    for (a, b), out in zip(pair_idx, outs):
+        k0, d0 = feats[a]
+        k1, d1 = feats[b]
+        single = lg(k0, d0, whs[a], k1, d1, whs[b])
         np.testing.assert_array_equal(out["matches0"], single["matches0"])
         np.testing.assert_allclose(
             out["matching_scores0"], single["matching_scores0"], atol=1e-5

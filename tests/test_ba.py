@@ -411,6 +411,7 @@ def test_block_schur_explicit_matches_matrix_free(rng):
     assert np.abs(dp_pm - dp_ref).max() <= 1e-5 * np.abs(dp_ref).max() + 1e-5
 
 
+@pytest.mark.slow
 def test_block_schur_full_solve_parity(rng):
     """Full LM solve via the explicit path reaches the matrix-free
     optimum (same final cost within fp noise)."""

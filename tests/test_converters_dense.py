@@ -392,6 +392,7 @@ def test_named_neural_backend_executes_with_checkpoint(tmp_path):
 
 
 # ------------------------------------------------------- DepthAnythingV2
+@pytest.mark.slow
 def test_depth_anything_v2_hf_parity():
     """Architecture-exact DA2 (DINOv2 + DPT) vs HuggingFace's torch
     DepthAnythingForDepthEstimation with random weights — validates the
@@ -461,6 +462,7 @@ def test_depth_anything_official_names_roundtrip():
 
 
 # ------------------------------------------------------------- DepthPro
+@pytest.mark.slow
 def test_depth_pro_hf_parity():
     """Architecture-exact DepthPro (3-scale patch pyramid DINOv2 + DPT
     fusion + FOV head) vs HuggingFace's torch DepthProForDepthEstimation

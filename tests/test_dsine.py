@@ -204,6 +204,7 @@ class _TorchTwin(nn.Module):
         return self.decoder(f8, f16, head, rays)
 
 
+@pytest.mark.slow
 def test_dsine_torch_twin_parity():
     from mpsfm_tpu.extraction.nets.dsine import DSINE
 

@@ -60,6 +60,7 @@ def test_mutual_nn_identity(rng):
     np.testing.assert_array_equal(out["matches0"], np.arange(100))
 
 
+@pytest.mark.slow
 def test_superpoint_random_weights_smoke():
     sp = SuperPoint({"max_keypoints": 128, "detection_threshold": -1.0})
     sp.init_random()

@@ -56,6 +56,7 @@ def test_metric3d_small_manifest_matches_init_random():
     assert manifest_from_params(net.params) == load_manifest("metric3dv2-small")
 
 
+@pytest.mark.slow
 def test_depthanything_manifest_matches_init_random():
     from mpsfm_tpu.extraction.nets.depth_anything import DepthAnythingV2
 

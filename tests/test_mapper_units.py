@@ -100,7 +100,9 @@ def make_dc_rec(rng, shift=0.0):
     """Two views of the analytic plane with exact depth maps (+optional
     corruption of view 2's depth)."""
     scene = PlaneScene(rng=rng, n_images=2, n_points=10, img_wh=(64, 48), focal=60.0)
-    rec, kps, matches, gt = scene.build(with_priors=True)
+    # exact-depth premise: no per-image scale corruption (the DC tests
+    # manipulate pose/shift themselves)
+    rec, kps, matches, gt = scene.build(with_priors=True, depth_scale_err_range=(1.0, 1.0))
     for i in (0, 1):
         rec.images[i].registered = True
         rec.images[i].pose = gt["poses"][i]

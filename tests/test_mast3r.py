@@ -283,6 +283,7 @@ class _TorchTwin(nn.Module):
 
 
 # ------------------------------------------------------------------- tests
+@pytest.mark.slow
 def test_mast3r_torch_twin_parity():
     from mpsfm_tpu.extraction.nets.mast3r import Mast3rNet
 

@@ -276,6 +276,7 @@ def _parity(cfg):
     np.testing.assert_allclose(np.asarray(out["kappa"]), t_kappa.numpy(), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_metric3d_torch_twin_parity():
     """Full-forward parity (backbone + RAFT-DPT decoder) vs the torch twin
     at the vit_small_reg-class config (standard MLP)."""

@@ -97,6 +97,7 @@ def test_vit_torch_parity():
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_mono_vit_backend_smoke():
     from mpsfm_tpu.extraction.priors import get_prior_backend
 
@@ -111,6 +112,7 @@ def test_mono_vit_backend_smoke():
     np.testing.assert_allclose(n, 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mono_vit_flip_consistency():
     from mpsfm_tpu.extraction.nets.mono import ViTMonoBackend
 
@@ -121,6 +123,7 @@ def test_mono_vit_flip_consistency():
     assert "normals2" in out
 
 
+@pytest.mark.slow
 def test_mono_torch_converter_roundtrip():
     """mono_params_from_torch produces a loadable tree (schema parity)."""
     torch = pytest.importorskip("torch")
@@ -187,6 +190,7 @@ def test_mono_torch_converter_roundtrip():
     np.testing.assert_allclose(np.asarray(out_conv["normals"]), np.asarray(out_ref["normals"]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_two_view_matcher_smoke():
     from mpsfm_tpu.extraction.nets.two_view import TwoViewMatcher
 
@@ -204,6 +208,7 @@ def test_two_view_matcher_smoke():
     assert np.all(pd["1"]["variance"] > 0)
 
 
+@pytest.mark.slow
 def test_warp_matcher_smoke():
     from mpsfm_tpu.extraction.nets.warp import WarpMatcher
 

@@ -6,6 +6,7 @@ import pytest
 import jax
 
 
+@pytest.mark.slow
 def test_block_sharded_ba_mesh_sizes():
     """Block-sharded BA converges across mesh sizes (supersedes the
     round-1 obs-sharded path, removed in round 3)."""
@@ -25,6 +26,7 @@ def test_block_sharded_ba_mesh_sizes():
         assert np.isfinite(np.asarray(x)).all()
 
 
+@pytest.mark.slow
 def test_sharded_feature_inference_matches_sequential():
     """run_sharded_batches over the virtual 8-device mesh reproduces the
     per-image forward exactly (DataParallel equivalent, SURVEY §2.2)."""
@@ -94,6 +96,7 @@ def test_block_sharded_ba_matches_single_device():
     assert len({s.data.shape for s in q2.addressable_shards}) == 1
 
 
+@pytest.mark.slow
 def test_block_sharded_ba_sparse_tracks():
     """Sparse (consecutive-camera) tracks partition + solve across mesh
     sizes; cost parity with the single-device PCG path."""
@@ -118,6 +121,7 @@ def test_block_sharded_ba_sparse_tracks():
         )
 
 
+@pytest.mark.slow
 def test_block_sharded_ba_2d_mesh():
     """Multi-host layout: 2-D (replica x blocks) mesh — BA shards its
     point blocks along the ICI 'blocks' axis and stays replicated across

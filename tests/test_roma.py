@@ -274,6 +274,7 @@ class _TorchTwin(nn.Module):
         return flow, cert[:, 0]
 
 
+@pytest.mark.slow
 def test_roma_torch_twin_parity():
     from mpsfm_tpu.extraction.nets.roma import RomaNet
 

@@ -112,14 +112,18 @@ def _make_scene(xs, ys=None):
     return sc
 
 
-def _run_cli(data_dir, out_dir, conf_path, timeout=1500):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+def _run_cli(data_dir, out_dir, conf_path, timeout=1500, use_cpu=True):
+    env = dict(os.environ)
+    pre = ""
+    if use_cpu:
+        env["JAX_PLATFORMS"] = "cpu"
+        pre = "import jax; jax.config.update('jax_platforms','cpu');"
     repo = str(Path(__file__).parent.parent)
     proc = subprocess.run(
         [
             sys.executable, "-c",
-            "import jax; jax.config.update('jax_platforms','cpu');"
-            f"import sys; sys.argv=['reconstruct.py','--conf','{conf_path}',"
+            pre
+            + f"import sys; sys.argv=['reconstruct.py','--conf','{conf_path}',"
             f"'--data_dir','{data_dir}','--sfm_outputs_dir','{out_dir}'];"
             f"sys.path.insert(0,'{repo}');"
             "from reconstruct import main; main()",
@@ -197,6 +201,7 @@ def test_trained_prior_rescues_low_overlap_chain(tmp_path):
     assert ate < 0.1, f"ATE {ate}"
 
 
+@pytest.mark.slow
 def test_train_mono_fast_convergence_and_calibration(tmp_path):
     """Fast unit check: a few steps of train_mono reduce the loss, the
     confidence head is NOT saturated (the NLL-saturation trap guarded in
@@ -244,3 +249,113 @@ def test_train_mono_fast_convergence_and_calibration(tmp_path):
     assert out2["depth"].shape == (2 * h, 2 * w)
     # depth is resolution-invariant; the doubled focal cancels the resize
     assert np.abs(np.median(out2["depth"]) / np.median(out["depth"]) - 1.0) < 0.2
+
+
+PRIOR_CONF_387 = """
+matches_mode: sparse
+verbose: 2
+extractors:
+  features: classical
+  matcher: nn
+  pairs_type: exhaustive
+  depth: vit_mono
+  depth_conf: {dim: 96, depth_blocks: 4, num_heads: 2, patch: 16, feat: 48, canonical_focal: 520.0, resize_long: 384, weights_path: '%(weights)s'}
+  feature_conf: {max_keypoints: 1024}
+  resize_max: 0
+mapper: {int_covs: true, ba: {max_iters: 10}, registration: {num_hyp: 256}}
+image_priors:
+  depth: {prior_uncertainty: true, depth_uncertainty: 0.05, prior_std_multiplier: 2.0}
+"""
+
+
+@pytest.mark.slow
+def test_trained_prior_e2e_at_reference_normscale(tmp_path):
+    """VERDICT r4 item 4b: the trained-prior e2e at the REFERENCE's
+    working resolution — images larger than normscale 387, so the
+    integration grids actually run at the reference's internal prior
+    resolution (scene/reconstruction/base.py:27), on the DEFAULT jax
+    backend (the real chip when the axon plugin is present). Asserts the
+    full uncertainty chain executes (int_covs on, refined depth +
+    uncertainty written) and the DC gates fire."""
+    base = _base_scene()
+    test_xs = _chain_positions(base, 4, target=0.5)
+
+    # 2x resolution, same FOV (focal scales with the image): the chain
+    # geometry (overlap fractions) is resolution-invariant
+    W2, H2, F2 = 640, 480, 520.0
+    plane2 = dict(PLANE, img_wh=(W2, H2), focal=F2)
+
+    def scene_at(xs, ys=None):
+        sc = PlaneScene(n_images=1, rng=np.random.default_rng(0), **plane2)
+        sc.poses = [_pose_at(x, 0.0 if ys is None else ys[i], i) for i, x in enumerate(xs)]
+        return sc
+
+    train_xs = np.linspace(test_xs.min() - 1.0, test_xs.max() + 1.0, 10)
+    train_ys = np.tile([0.0, 0.25, -0.2], 4)[:10]
+    sc_train = scene_at(train_xs, train_ys)
+    sc_test = scene_at(test_xs)
+
+    train_dir = render_scene_dir(
+        sc_train, tmp_path / "train", rng=np.random.default_rng(7),
+        plane_extent=16.0, supersample=2,
+    )
+    capture_dir = render_scene_dir(
+        sc_test, tmp_path / "capture", rng=np.random.default_rng(7),
+        plane_extent=16.0, write_depth=False, supersample=2,
+    )
+
+    # train ON THE DEFAULT BACKEND in a fresh interpreter (the conftest
+    # pins this process to CPU; the chip run needs a clean process)
+    repo = str(Path(__file__).parent.parent)
+    wpath = tmp_path / "mono387.msgpack"
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r});"
+        "from mpsfm_tpu.extraction.nets.train_mono import fit_scene_prior;"
+        "import json;"
+        f"w, conf, h = fit_scene_prior({str(train_dir)!r}, {str(wpath)!r},"
+        " steps=400, batch=10, lr=2e-3, canonical_focal=520.0, resize_long=384);"
+        "print('HIST', json.dumps({k: float(v) for k, v in h.items()}))"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=2400, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    import json as _json
+
+    hist = _json.loads(proc.stdout.split("HIST", 1)[1].strip().splitlines()[0])
+    assert hist["log_d_mae"] < 0.30, hist
+
+    conf_pr = tmp_path / "prior387.yaml"
+    conf_pr.write_text(PRIOR_CONF_387 % {"weights": str(wpath)})
+    out = _run_cli(capture_dir, tmp_path / "out_prior387", conf_pr,
+                   timeout=2400, use_cpu=False)
+    from mpsfm_tpu.utils.colmap_io import read_text
+
+    rec = read_text(tmp_path / "out_prior387")
+    assert len(rec.registered_images) == 4, out[-800:]
+    # DC gates fired (verbose-2 mapper logs each passed check)
+    assert "Depth consistency" in out, out[-800:]
+
+    # uncertainty chain artifacts: refined depth + uncertainty at the
+    # 387-capped integration grid
+    import h5py
+
+    with h5py.File(tmp_path / "out_prior387" / "depths.h5", "r") as f:
+        names = list(f.keys())
+        assert names
+        grp = f[names[0]]
+        assert "uncertainty" in grp and "prior_depth" in grp
+        assert max(grp["prior_depth"].shape) == 387, grp["prior_depth"].shape
+
+    # ATE vs render poses
+    est, gt = [], []
+    for imid, im in rec.registered_images.items():
+        est.append(im.pose.center())
+        gt.append(sc_test.poses[int(im.name[2:4])].center())
+    est, gt = np.stack(est), np.stack(gt)
+    s, R, t = umeyama_alignment(est, gt)
+    err = np.linalg.norm((s * est @ R.T + t) - gt, axis=1)
+    ate = float(np.sqrt((err**2).mean()))
+    assert ate < 0.1, f"ATE {ate}"

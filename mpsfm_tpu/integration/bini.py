@@ -365,6 +365,24 @@ def bini_energy_batch_packed(packed, p: BiniParams):
     return jax.vmap(lambda q: _energy_at_z0(_unpack(q), p))(packed)
 
 
+@partial(jax.jit, static_argnames=("p",))
+def bini_solve_batch_fetch(packed, p: BiniParams):
+    """Batched solve returning (z_dev, flat) where flat packs
+    [z.ravel(), energy(B), aborted(B)] into ONE f32 row so the host
+    reads the whole result in a single transfer (per-read tunnel
+    latency ~35-100 ms dominates bandwidth; the old path paid three
+    blocking reads per bundle solve: z, energy, aborted)."""
+    z, info = jax.vmap(lambda q: _bini_solve_impl(_unpack(q), p))(packed)
+    flat = jnp.concatenate(
+        [
+            z.astype(jnp.float32).reshape(-1),
+            info["energy"].astype(jnp.float32),
+            info["aborted"].astype(jnp.float32),
+        ]
+    )
+    return z, flat
+
+
 def _bini_solve_impl(inp: BiniInputs, p: BiniParams):
     """IRLS + Jacobi-PCG solve. Returns (z, info).
 

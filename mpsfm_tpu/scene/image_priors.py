@@ -565,7 +565,7 @@ def integrate_bundle_batched(pris) -> dict:
     """
     from mpsfm_tpu.integration.bini import (
         bini_energy_batch_anchors,
-        bini_solve_batch_packed,
+        bini_solve_batch_fetch,
         take_z,
     )
     from mpsfm_tpu.utils.profiling import TIMERS
@@ -616,10 +616,15 @@ def integrate_bundle_batched(pris) -> dict:
         idxs = jnp.asarray(todo + [todo[0]] * (B - len(todo)), jnp.int32)
         sub = packed[idxs]  # device-side gather, no re-upload
         with TIMERS.phase("bini.solve_batch"):
-            z_dev, info = bini_solve_batch_packed(sub, params)
-            z = np.asarray(z_dev)
-        e_arr = np.asarray(info["energy"])
-        ab_arr = np.asarray(info["aborted"])
+            # ONE blocking read for the whole batch: z + energy + aborted
+            # packed into a flat row (was three ~40-100 ms tunnel reads)
+            z_dev, flat_dev = bini_solve_batch_fetch(sub, params)
+            flat = np.asarray(flat_dev)
+        _, h, w = z_dev.shape
+        nz = B * h * w
+        z = flat[:nz].reshape(B, h, w)
+        e_arr = flat[nz: nz + B]
+        ab_arr = flat[nz + B: nz + 2 * B] > 0.5
         for pos, k in enumerate(todo):
             pri = entries[k][0]
             depth_new, ch = pri.integrator.accept(z[pos], float(e_arr[pos]), bool(ab_arr[pos]))

@@ -15,7 +15,7 @@ import numpy as np
 
 from mpsfm_tpu.config import BaseClass
 from mpsfm_tpu.scene.corrgraph import CorrespondenceGraph
-from mpsfm_tpu.scene.reconstruction import INVALID, Reconstruction
+from mpsfm_tpu.scene.reconstruction import INVALID, Reconstruction, quat_rotate_np
 
 
 def _nview_triangulate(P_mats, xy_norm, mask):
@@ -160,24 +160,35 @@ class Triangulator(BaseClass):
         max_err = self.conf.complete_max_reproj_error * np.median(
             [i.kp_std for i in rec.images.values()]
         )
+        # per-image tables for the vectorized per-group reprojection test
+        max_im = max(rec.images.keys())
+        qarr = np.zeros((max_im + 1, 4))
+        tarr = np.zeros((max_im + 1, 3))
+        farr = np.ones((max_im + 1, 2))
+        carr = np.zeros((max_im + 1, 2))
+        ctrarr = np.zeros((max_im + 1, 3))
+        for i in rec.reg_image_ids():
+            pose = rec.images[i].pose
+            qarr[i], tarr[i], ctrarr[i] = pose.q, pose.t, pose.center()
+            cam = rec.camera(i)
+            farr[i] = (cam.fx, cam.fy)
+            carr[i] = (cam.cx, cam.cy)
         for gi, obs in enumerate(obs_tbl):
             X = xyz[gi]
             ok = np.isfinite(X).all()
             if not ok:
                 continue
-            good_obs = []
-            for oim, okp in obs:
-                pose = rec.images[oim].pose
-                p_cam = pose.transform(X[None])[0]
-                if p_cam[2] <= 1e-8:
-                    continue
-                cam = rec.camera(oim)
-                px = cam.img_from_cam(p_cam[:2] / p_cam[2])
-                if np.linalg.norm(px - rec.images[oim].keypoints[okp]) < max_err:
-                    good_obs.append((oim, okp))
+            oims = np.asarray([o for o, _ in obs], np.int64)
+            p_cam = quat_rotate_np(qarr[oims], X) + tarr[oims]
+            front = p_cam[:, 2] > 1e-8
+            zsafe = np.where(front[:, None], p_cam[:, 2:3], 1.0)
+            px = p_cam[:, :2] / zsafe * farr[oims] + carr[oims]
+            kps = np.stack([rec.images[o].keypoints[k] for o, k in obs])
+            good = front & (np.linalg.norm(px - kps, axis=1) < max_err)
+            good_obs = [obs[i] for i in np.where(good)[0]]
             if len(good_obs) < 2:
                 continue
-            centers = np.stack([rec.images[oim].pose.center() for oim, _ in good_obs])
+            centers = ctrarr[oims[good]]
             r = X[None] - centers
             rn = r / np.maximum(np.linalg.norm(r, axis=-1, keepdims=True), 1e-12)
             cosang = np.clip(rn @ rn.T, -1, 1)
@@ -361,6 +372,19 @@ class Triangulator(BaseClass):
         cand_locs: dict[int, list] = {}
         for i in range(len(c_pid)):
             cand_locs.setdefault(int(c_pid[i]), []).append((int(c_im[i]), int(c_kp[i])))
+        # per-image pose/intrinsics tables for the vectorized reprojection
+        # test (poses are constant during the pass; per-obs Pose.transform
+        # calls were ~4s/scene on the host profile)
+        qarr = np.zeros((max_im + 1, 4))
+        tarr = np.zeros((max_im + 1, 3))
+        farr = np.ones((max_im + 1, 2))
+        carr = np.zeros((max_im + 1, 2))
+        for i in rec.reg_image_ids():
+            qarr[i] = rec.images[i].pose.q
+            tarr[i] = rec.images[i].pose.t
+            cam = rec.camera(i)
+            farr[i] = (cam.fx, cam.fy)
+            carr[i] = (cam.cx, cam.cy)
         for pid in apids.tolist():
             if not rec.alive[pid]:
                 continue
@@ -375,19 +399,13 @@ class Triangulator(BaseClass):
             l1, l2 = rec.track_len[pid], rec.track_len[partner]
             X = (rec.xyz[pid] * l1 + rec.xyz[partner] * l2) / (l1 + l2)
             obs = list(rec.tracks[pid]) + list(rec.tracks[partner])
-            ok = True
-            for oim, okp in obs:
-                pose = rec.images[oim].pose
-                p_cam = pose.transform(X[None])[0]
-                if p_cam[2] <= 1e-8:
-                    ok = False
-                    break
-                cam = rec.camera(oim)
-                px = cam.img_from_cam(p_cam[:2] / p_cam[2])
-                if np.linalg.norm(px - rec.images[oim].keypoints[okp]) >= max_err:
-                    ok = False
-                    break
-            if not ok:
+            oims = np.asarray([o for o, _ in obs], np.int64)
+            p_cam = quat_rotate_np(qarr[oims], X) + tarr[oims]
+            if (p_cam[:, 2] <= 1e-8).any():
+                continue
+            px = p_cam[:, :2] / p_cam[:, 2:3] * farr[oims] + carr[oims]
+            kps = np.stack([rec.images[o].keypoints[k] for o, k in obs])
+            if (np.linalg.norm(px - kps, axis=1) >= max_err).any():
                 continue
             rec.delete_point3D(pid)
             rec.delete_point3D(partner)

@@ -297,21 +297,17 @@ class ImagePriors(BaseClass):
         covdict = self.rec.point_covs
         view = getattr(covdict, "device_view", lambda: None)()
         if view is not None:
-            _dev, slotmap = view
-            L = len(pids)
             vals = np.asarray(d3, np.float64).copy()
-            slots = np.full(L, -1.0)
+            slots = covdict.slots_for(pids).astype(np.float64)
             R2 = self._R2()
-            for i, p in enumerate(pids):
-                s = slotmap.get(int(p), -1)
-                if s >= 0:
-                    slots[i] = s
-                else:
-                    raw = dict.get(covdict, int(p))  # built-in get: no flush
-                    if raw is not None:
-                        zv = max(float(R2 @ raw @ R2), 1e-12)
-                        vals[i] = d3[i] ** 2 / zv
-                        slots[i] = -2.0
+            # rare fallback: pids absent from the device dispatch but
+            # present as raw host covariances
+            for i in np.where(slots < 0)[0]:
+                raw = dict.get(covdict, int(pids[i]))  # built-in get: no flush
+                if raw is not None:
+                    zv = max(float(R2 @ raw @ R2), 1e-12)
+                    vals[i] = d3[i] ** 2 / zv
+                    slots[i] = -2.0
             return np.stack([ys, xs, vals, logz, slots], -1).astype(np.float32)
         zv = np.clip(self._point_zvars(pids), 1e-12, None)
         prec = (1.0 / zv) * d3**2

@@ -42,6 +42,10 @@ class BAProblem:
     n_cams: int
     n_pts: int
     dense: object | None = None  # DenseBAData when C*P small (gather-free path)
+    # device-depth mode (ba/device_depth.py): host-built sampling specs;
+    # the depth grids are then derived ON DEVICE from the device-resident
+    # log-depth maps so integrate -> BA chains with no blocking read
+    depth_specs: dict | None = None
 
 
 def build_ba_data(
@@ -60,6 +64,7 @@ def build_ba_data(
     local_variable_track_max: int = 15,
     dtype=np.float32,
     representation: str = "both",
+    device_depth: bool = False,
 ) -> BAProblem:
     """representation selects which device arrays are uploaded:
     "both" (legacy), "solve" (dense grids when C·P fits, else sparse),
@@ -141,7 +146,68 @@ def build_ba_data(
 
     # --- depth observations (per optim image with activated depth) ---
     per_cam_d: dict[int, tuple] = {}
-    if use_depth:
+    depth_specs = None
+    if use_depth and device_depth:
+        # device-depth mode: host builds only the z-INDEPENDENT sampling
+        # specs (kp grid coords, variances, point indices); the sampled
+        # depths, scale filter, magnitudes and robust scales are computed
+        # on device from the device-resident log-depth grids
+        # (ba/device_depth.py), so the freshly integrated z never crosses
+        # the tunnel before the BA solve.
+        rows = []
+        if len(all_pts_arr):
+            pt_lookup = np.full(int(all_pts_arr.max()) + 1, -1, np.int64)
+            pt_lookup[all_pts_arr] = np.arange(len(all_pts_arr))
+        else:
+            pt_lookup = np.full(1, -1, np.int64)
+        for imid in optim_ids:
+            im = rec.images[imid]
+            depth = getattr(im, "depth", None)
+            if depth is None or not depth.activated:
+                continue
+            kp_ids = im.observed_kp_ids()
+            if len(kp_ids) == 0:
+                continue
+            kps = im.keypoints[kp_ids]
+            valid = depth.valid_at_kps(kps)
+            kp_ids, kps = kp_ids[valid], kps[valid]
+            if len(kp_ids) == 0:
+                continue
+            pids = im.point3D_ids[kp_ids]
+            ptl = np.where(
+                (pids >= 0) & (pids < len(pt_lookup)),
+                pt_lookup[np.clip(pids, 0, len(pt_lookup) - 1)],
+                -1,
+            )
+            sigma2 = np.asarray(depth.uncertainty_update)[kp_ids]
+            sx, sy = depth._grid_scale
+            rows.append(
+                (imid, cam_local[imid], kps[:, 0] * sx, kps[:, 1] * sy, sigma2, ptl)
+            )
+        if rows:
+            Sd = _bucket(max(len(r[2]) for r in rows), 32)
+            Cr = len(rows)
+            gx = np.zeros((Cr, Sd), np.float32)
+            gy = np.zeros((Cr, Sd), np.float32)
+            s2 = np.ones((Cr, Sd), np.float32)
+            pti = np.full((Cr, Sd), 0, np.int32)
+            cam_rows = np.zeros(Cr, np.int32)
+            imids_r = []
+            Pb_spec = _bucket(max(len(all_pts), 1))
+            pti[:] = Pb_spec  # padding sentinel (dropped by the scatter)
+            for r, (imid, c, gxr, gyr, s2r, ptlr) in enumerate(rows):
+                L = len(gxr)
+                gx[r, :L], gy[r, :L], s2[r, :L] = gxr, gyr, s2r
+                pti[r, :L] = np.where(ptlr < 0, Pb_spec, ptlr)
+                cam_rows[r] = c
+                imids_r.append(imid)
+            depth_specs = {
+                "gx": gx, "gy": gy, "sigma2": s2, "ptidx": pti,
+                "cam_rows": cam_rows, "imids": imids_r,
+            }
+        else:
+            depth_specs = {"imids": []}
+    elif use_depth:
         m = param_multiplier * truncation_multiplier * depth_rob_scale
         for imid in optim_ids:
             im = rec.images[imid]
@@ -316,7 +382,7 @@ def build_ba_data(
         )
     return BAProblem(
         data=data, cam_ids=cam_ids, pt_ids=np.asarray(all_pts, np.int64),
-        n_cams=C, n_pts=len(all_pts), dense=dense,
+        n_cams=C, n_pts=len(all_pts), dense=dense, depth_specs=depth_specs,
     )
 
 

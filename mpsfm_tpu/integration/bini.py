@@ -318,6 +318,47 @@ def bini_energy_batch_anchors(anch, p: BiniParams, cov, *pairs):
     return jax.vmap(lambda q: _energy_at_z0(_unpack(q), p))(packed), packed
 
 
+@partial(jax.jit, static_argnames=("p",))
+def bini_gate_solve_batch_anchors(anch, prev, p: BiniParams, cov, *pairs):
+    """Energy gate + gated solve in ONE device program (no host read
+    between them — the old two-call path paid a ~35-100 ms tunnel read
+    for the gate energies on every bundle).
+
+    prev (B,2) float32: [energy_old, has_prev] per image (the host
+    Integrator state). A lane refines iff it has no previous energy or
+    the relative energy change exceeds p.tol (Integrator.
+    should_refine_energy semantics). When NO lane refines the solve is
+    skipped entirely via lax.cond (the common warm-restart case).
+
+    Returns (z_out (B,H,W), info (B,4) [e0, e_final, refine, aborted]):
+    z_out is the refined z where refine & ~aborted, else the (shifted)
+    z0; e_final is e0 for aborted/skipped lanes (matching
+    _bini_solve_impl's abort semantics).
+    """
+    packed = _assemble_batch_anchors(anch, cov, pairs)
+    e0 = jax.vmap(lambda q: _energy_at_z0(_unpack(q), p))(packed)
+    refine = (prev[:, 1] < 0.5) | (
+        jnp.abs(e0 - prev[:, 0]) / jnp.maximum(prev[:, 0], 1e-30) > p.tol
+    )
+    z0b = packed[:, 0]
+
+    def do_solve(pk):
+        z, info = jax.vmap(lambda q: _bini_solve_impl(_unpack(q), p))(pk)
+        return z, info["energy"], info["aborted"]
+
+    def skip(pk):
+        return z0b, e0, jnp.zeros(e0.shape, bool)
+
+    z_new, e_fin, aborted = jax.lax.cond(refine.any(), do_solve, skip, packed)
+    take = refine & ~aborted
+    z_out = jnp.where(take[:, None, None], z_new, z0b)
+    e_eff = jnp.where(refine, e_fin, e0)
+    info4 = jnp.stack(
+        [e0, e_eff, refine.astype(jnp.float32), aborted.astype(jnp.float32)], -1
+    ).astype(jnp.float32)
+    return z_out, info4
+
+
 @partial(jax.jit, static_argnames=("p", "chunk"))
 def diag_inverse_at_batch_anchors(anch, rowcol, p: BiniParams, chunk: int, cov, *pairs):
     """Anchor-transport variant of diag_inverse_at_batch; rowcol (B,2,Kp)
@@ -335,6 +376,40 @@ def take_z(z_batch, pos):
     """Device-side z_batch[pos] with a traced index — one compile per
     batch shape (used to seed the per-image z0 cache after a solve)."""
     return jax.lax.dynamic_index_in_dim(z_batch, pos, 0, keepdims=False)
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def resize_log_dev(zlog, shift, out_hw):
+    """Device-side equivalent of log(resize_bilinear(exp(zlog+shift))):
+    the downscaled z0 for the int_covs grid, built from the
+    device-resident working log-depth without a host round trip
+    (matches utils/interp.resize_bilinear's cv2-style sampling)."""
+    d = jnp.exp(zlog + shift)
+    H, W = d.shape
+    H2, W2 = out_hw
+    ys = (jnp.arange(H2) + 0.5) * H / H2 - 0.5
+    xs = (jnp.arange(W2) + 0.5) * W / W2 - 0.5
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = (xs - x0)[None, :]
+    fy = (ys - y0)[:, None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, H - 1)
+    v = (
+        d[y0i][:, x0i] * (1 - fx) * (1 - fy)
+        + d[y0i][:, x1i] * fx * (1 - fy)
+        + d[y1i][:, x0i] * (1 - fx) * fy
+        + d[y1i][:, x1i] * fx * fy
+    )
+    return jnp.log(jnp.maximum(v, 1e-8))
+
+
+@jax.jit
+def exp_shift_dev(zlog, shift):
+    """Linear depth grid from the device log-depth handle (DC cache)."""
+    return jnp.exp(zlog + shift)
 
 
 @jax.jit

@@ -336,11 +336,26 @@ class DepthConsistencyChecker(BaseClass):
         d = self.rec.images[imid].depth
         c = self._dev_cache.setdefault(imid, {})
         s = float(d.scale)
-        if d.activated and d.data is not None:
+        if d.activated and (
+            d._data is not None or d.data_log_dev() is not None
+        ):
             dkey = ("d", d.data_epoch)
             ent = c.get("d")
             if ent is None or ent[0] != dkey:
-                ent = (dkey, float(d.data_log_shift), jnp.asarray(np.asarray(d.data, np.float32)))
+                handle = d.data_log_dev()
+                if handle is not None:
+                    # device-resident working map: exp on device, no
+                    # host materialization or re-upload
+                    from mpsfm_tpu.integration.bini import exp_shift_dev
+
+                    zdev, shift = handle
+                    ent = (
+                        dkey,
+                        float(d.data_log_shift),
+                        exp_shift_dev(zdev, jnp.float32(shift)),
+                    )
+                else:
+                    ent = (dkey, float(d.data_log_shift), jnp.asarray(np.asarray(d.data, np.float32)))
                 c["d"] = ent
             d_fac = float(np.exp(d.data_log_shift - ent[1]))
         else:

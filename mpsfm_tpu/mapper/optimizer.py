@@ -87,7 +87,8 @@ class Optimizer(BaseClass):
         return self._run_solve(prob, mode, depth_loss_name, n_shards)
 
     def _build(self, bundle, mode, fix_pose, param_multiplier,
-               allow_scale_filter, depth_type, representation="solve"):
+               allow_scale_filter, depth_type, representation="solve",
+               device_depth=False):
         return build_ba_data(
             self.rec,
             bundle,
@@ -102,6 +103,7 @@ class Optimizer(BaseClass):
             scale_filter_factor=self.conf.scale_filter_factor,
             use_depth=self.conf.use_depth,
             representation=representation,
+            device_depth=device_depth,
         )
 
     def _use_dist_ba(self, bundle, mode):
@@ -202,6 +204,122 @@ class Optimizer(BaseClass):
             bundle, mode, fix_pose=False, depth_loss_name=self.conf.depth_loss_name,
             param_multiplier=param_multiplier, allow_scale_filter=allow_scale_filter,
         )
+
+    def ba_fused(self, bundle, mode, z_getter, pending=None, param_multiplier=1.0,
+                 allow_scale_filter=False, fix_pose=False, depth_type="update",
+                 update_trunc=False):
+        """Integrate->BA chained solve: the depth-observation grids are
+        derived ON DEVICE from the device-resident log-depth maps
+        (ba/device_depth.py), so the whole refinement iteration — BiNI
+        gate+solve, depth rows, LM-Schur BA, optional in-program MAD
+        truncation multiplier — costs ONE blocking tunnel read
+        (BA result + integration outputs fetched together).
+
+        z_getter(imid) -> (log-depth grid device array, scalar shift).
+        pending: integrate_bundle_deferred's finalize payload (its
+        results ride the same read). Falls back to the classic path when
+        the dense representation is unavailable (large/distributed
+        bundles)."""
+        import jax.numpy as jnp
+
+        from mpsfm_tpu.scene.image_priors import finalize_integration
+        from mpsfm_tpu.utils.profiling import TIMERS
+        from mpsfm_tpu.utils.transport import fetch_many
+
+        depth_loss_name = (
+            self.conf.ref3d_loss_name if fix_pose else self.conf.depth_loss_name
+        )
+        n_shards = self._use_dist_ba(bundle, mode) if not fix_pose else 0
+        prob = None
+        if not n_shards:
+            with TIMERS.phase("ba.build_data"):
+                prob = self._build(
+                    bundle, mode, fix_pose, param_multiplier, allow_scale_filter,
+                    depth_type, representation="solve", device_depth=True,
+                )
+        if n_shards or prob is None or prob.dense is None:
+            # fallback: finalize the deferred integration (one read), then
+            # the classic path (host depth rows / distributed solver)
+            if pending is not None:
+                finalize_integration(pending)
+            if update_trunc:
+                with TIMERS.phase("truncation_multiplier"):
+                    self.update_truncation_multiplier(self.rec.reg_image_ids())
+            prob2 = self._build(
+                bundle, mode, fix_pose, param_multiplier, allow_scale_filter,
+                depth_type, representation="sparse" if n_shards else "solve",
+            )
+            return self._run_solve(prob2, mode, depth_loss_name, n_shards)
+
+        from mpsfm_tpu.ba.device_depth import build_depth_grids, sample_logd
+
+        specs = prob.depth_specs or {}
+        dense = prob.dense
+        Cb = int(dense.quat.shape[0])
+        Pb = int(dense.xyz.shape[0])
+        trunc_dev = None
+        if specs.get("imids"):
+            gx_dev = jnp.asarray(specs["gx"])
+            gy_dev = jnp.asarray(specs["gy"])
+            rows = []
+            for r, imid in enumerate(specs["imids"]):
+                z2d, shift = z_getter(imid)
+                rows.append(sample_logd(z2d, jnp.float32(shift), gx_dev[r], gy_dev[r]))
+            logd = jnp.stack(rows)
+            m_base = param_multiplier * self.conf.rob_std * (
+                1.0 if update_trunc else self.truncation_multiplier
+            )
+            min_trunc = (
+                self.conf.min_truncation_mult
+                if self.conf.min_truncation_mult is not None
+                else -1e30
+            )
+            d_logt, d_w, d_scale, trunc_dev = build_depth_grids(
+                logd,
+                jnp.asarray(specs["sigma2"]),
+                jnp.asarray(specs["ptidx"]),
+                jnp.asarray(specs["cam_rows"]),
+                dense.quat, dense.t, dense.xyz,
+                jnp.float32(m_base),
+                jnp.float32(self.conf.scale_filter_factor),
+                jnp.float32(min_trunc),
+                C=Cb, P=Pb,
+                scale_filter=bool(allow_scale_filter and self.conf.scale_filter),
+                compute_trunc=bool(update_trunc),
+            )
+            dense = dense._replace(d_logt=d_logt, d_w=d_w, d_scale=d_scale)
+
+        from mpsfm_tpu.ba.dense import solve_ba_dense
+
+        with TIMERS.phase(f"ba[{mode}]"):
+            quat, t, xyz, info = solve_ba_dense(
+                dense,
+                reproj_loss=losses.LOSS_IDS[self.conf.reproj_loss_name],
+                depth_loss=losses.LOSS_IDS[depth_loss_name],
+                max_iters=self.conf.max_iters,
+            )
+            arrays = [quat, t, xyz, info["cost0"], info["cost"], info["accepted"]]
+            if trunc_dev is not None and update_trunc:
+                arrays.append(trunc_dev)
+            n_fixed = len(arrays)
+            if pending:
+                arrays += [info_dev for _, _z, info_dev in pending]
+            fetched = fetch_many(arrays)
+        if pending:
+            finalize_integration(pending, fetched[n_fixed:])
+        cost0 = float(fetched[3])
+        cost = float(fetched[4])
+        accepted = int(fetched[5])
+        if trunc_dev is not None and update_trunc:
+            self.truncation_multiplier = float(fetched[6])
+        if not np.isfinite(cost):
+            return None, False
+        apply_ba_result(self.rec, prob, fetched[0], fetched[1], fetched[2])
+        self.log(
+            f"BA[{mode}/fused] cost {cost0:.1f} -> {cost:.1f} ({accepted} steps)",
+            level=2,
+        )
+        return {"cost0": cost0, "cost": cost, "accepted": accepted}, True
 
     def refine_3d_points(self, bundle, depth_type="update", **kw):
         """Poses fixed, points refined with depth regularization

@@ -322,11 +322,26 @@ class ImagePriors(BaseClass):
         from mpsfm_tpu.utils.interp import resize_bilinear
 
         depth = self.depth
-        if depth.activated and depth.data is not None:
+        if depth.activated and (
+            depth._data is not None or depth.data_log_dev() is not None
+        ):
             key = ("d", depth.data_epoch)
             ent = self._z0_cache.get(downscale)
             if ent is not None and ent[0] == key:
                 return ent[2], float(depth.data_log_shift - ent[1])
+            handle = depth.data_log_dev()
+            if handle is not None:
+                # device-resident working map (fused refinement): derive
+                # the (downscaled) z0 on device — no host round trip
+                zdev, shift = handle
+                if downscale > 1:
+                    from mpsfm_tpu.integration.bini import resize_log_dev
+
+                    dev = resize_log_dev(zdev, jnp.float32(shift), self._hw(downscale))
+                else:
+                    dev = zdev if shift == 0.0 else zdev + jnp.float32(shift)
+                self._z0_cache[downscale] = (key, float(depth.data_log_shift), dev)
+                return dev, 0.0
             if downscale > 1:
                 z0 = np.log(np.clip(resize_bilinear(depth.data, self._hw(downscale)), 1e-8, None))
             else:
@@ -544,29 +559,28 @@ def _pack_anchors(pl_shift, shape, B0, Ka):
     return anch
 
 
-def integrate_bundle_batched(pris) -> dict:
-    """Whole-bundle depth refinement in two device calls: one batched
-    energy evaluation (the should_refine filter) + one vmapped solve over
-    the images that need it (SURVEY §7.1 — replaces the reference's
-    per-image loop, mapper/base.py:619-631). Returns {imid: changed}.
+def integrate_bundle_deferred(pris):
+    """Dispatch the whole-bundle depth refinement WITHOUT any blocking
+    read: the should_refine energy gate and the gated IRLS solve run in
+    ONE device program per grid-shape group
+    (bini.bini_gate_solve_batch_anchors), with the host Integrator state
+    shipped in as (B,2) scalars. Replaces the reference's per-image loop
+    (mpsfm/sfm/mapper/base.py:619-631) and the round-4 two-call
+    energy->host->solve structure (each call paid a ~35-100 ms tunnel
+    read).
 
-    Images are grouped by integration-grid shape + params. Per group the
-    host uploads ONE (B,5,Ka) sparse-anchor array (~KB); z0, the prior
-    rows, and the normals-derived rows are device-resident
-    (ImagePriors._z0_shift_dev / static_prior_dev) and the dense dynamic
-    rows are scattered ON DEVICE — per-call tunnel latency dominates
-    bandwidth, so the whole bundle costs ~3 device interactions. Batch
-    dims are padded to power-of-two buckets to bound compile variants
-    (every fresh shape is a multi-second remote compile).
+    Returns (handles, pending):
+      handles: {imid: (z_out_dev (B,H,W), lane)} — each image's CURRENT
+        log-depth at current scale on device (refined this call or the
+        gated-through z0), for downstream device consumers (the BA
+        depth-row sampler chains off these with no host transfer);
+      pending: finalize_integration input (device arrays + entry lists).
     """
-    from mpsfm_tpu.integration.bini import (
-        bini_energy_batch_anchors,
-        bini_solve_batch_fetch,
-        take_z,
-    )
+    from mpsfm_tpu.integration.bini import bini_gate_solve_batch_anchors
     from mpsfm_tpu.utils.profiling import TIMERS
 
-    changed: dict = {}
+    handles: dict = {}
+    pending: list = []
     groups: dict = {}
     cov_dev = None
     with TIMERS.phase("bini.build_inputs"):
@@ -588,47 +602,70 @@ def integrate_bundle_batched(pris) -> dict:
         n = len(entries)
         B0 = _pow2(n)
         Ka = _pow2(max(max((len(e[1]) for e in entries), default=1), 1), 64)
-        anch = _pack_anchors(
-            [(pl, zs, ps, R2) for _, pl, zs, ps, R2, _ in entries], shape, B0, Ka
-        )
-        pairs = [e[5] for e in entries] + [entries[0][5]] * (B0 - n)
-        with TIMERS.phase("bini.energy_batch"):
-            energies_dev, packed = bini_energy_batch_anchors(
-                jnp.asarray(anch), params, cov_dev, *pairs
+        with TIMERS.phase("bini.pack_anchors"):
+            anch = _pack_anchors(
+                [(pl, zs, ps, R2) for _, pl, zs, ps, R2, _ in entries], shape, B0, Ka
             )
-            energies = np.asarray(energies_dev)[:n]
-        todo = [
-            k for k, e in enumerate(entries)
-            if e[0].integrator.should_refine_energy(float(energies[k]))
-        ]
+        pairs = [e[5] for e in entries] + [entries[0][5]] * (B0 - n)
+        prev = np.zeros((B0, 2), np.float32)
         for k, e in enumerate(entries):
-            if k not in todo:
-                changed[e[0].imid] = False
-        if not todo:
-            continue
-        B = 1
-        while B < len(todo):
-            B *= 2
-        idxs = jnp.asarray(todo + [todo[0]] * (B - len(todo)), jnp.int32)
-        sub = packed[idxs]  # device-side gather, no re-upload
-        with TIMERS.phase("bini.solve_batch"):
-            # ONE blocking read for the whole batch: z + energy + aborted
-            # packed into a flat row (was three ~40-100 ms tunnel reads)
-            z_dev, flat_dev = bini_solve_batch_fetch(sub, params)
-            flat = np.asarray(flat_dev)
-        _, h, w = z_dev.shape
-        nz = B * h * w
-        z = flat[:nz].reshape(B, h, w)
-        e_arr = flat[nz: nz + B]
-        ab_arr = flat[nz + B: nz + 2 * B] > 0.5
-        for pos, k in enumerate(todo):
-            pri = entries[k][0]
-            depth_new, ch = pri.integrator.accept(z[pos], float(e_arr[pos]), bool(ab_arr[pos]))
-            if ch and depth_new is not None:
-                pri.depth.data = depth_new
-                pri.seed_z0(take_z(z_dev, jnp.int32(pos)))
-            changed[pri.imid] = ch
+            integ = e[0].integrator
+            if integ.integrated and integ.energy_old is not None:
+                prev[k] = (integ.energy_old, 1.0)
+        prev[n:, 1] = 1.0
+        prev[n:, 0] = np.inf  # padded lanes: never refine
+        with TIMERS.phase("bini.gate_solve"):
+            z_out, info4 = bini_gate_solve_batch_anchors(
+                jnp.asarray(anch), jnp.asarray(prev), params, cov_dev, *pairs
+            )
+        for k, e in enumerate(entries):
+            handles[e[0].imid] = (z_out, k)
+        pending.append(([e[0] for e in entries], z_out, info4))
+    return handles, pending
+
+
+def finalize_integration(pending, fetched=None) -> dict:
+    """Apply host-side Integrator bookkeeping from the fetched gate/solve
+    results. Only the tiny (B,4) info rows cross the tunnel — the
+    accepted log-depth grids STAY ON DEVICE (Depth.set_data_from_device;
+    host copies materialize lazily on first access, e.g. the final
+    depths.h5 write). fetched: [info (B,4) np] aligned with pending —
+    pass results from a caller-batched fetch_many read; None fetches
+    here (one read). Returns {imid: changed}."""
+    from mpsfm_tpu.integration.bini import take_z
+    from mpsfm_tpu.utils.transport import fetch_many
+
+    if fetched is None:
+        fetched = fetch_many([info_dev for _, _z, info_dev in pending])
+    changed: dict = {}
+    for (pris_g, z_dev, _info_dev), info in zip(pending, fetched):
+        for k, pri in enumerate(pris_g):
+            e0, e_eff, refine, aborted = (float(v) for v in info[k])
+            if refine < 0.5:
+                changed[pri.imid] = False
+                continue
+            integ = pri.integrator
+            integ.energy_old = e_eff
+            integ.integrated = True
+            if aborted > 0.5:
+                changed[pri.imid] = False
+                continue
+            z_lane = take_z(z_dev, jnp.int32(k))
+            pri.depth.set_data_from_device(z_lane)
+            pri.seed_z0(z_lane)
+            changed[pri.imid] = True
     return changed
+
+
+def integrate_bundle_batched(pris) -> dict:
+    """Whole-bundle depth refinement with ONE blocking device read
+    (gate + gated solve fused on device; see integrate_bundle_deferred).
+    Returns {imid: changed}."""
+    from mpsfm_tpu.utils.profiling import TIMERS
+
+    _, pending = integrate_bundle_deferred(pris)
+    with TIMERS.phase("bini.fetch_finalize"):
+        return finalize_integration(pending)
 
 
 def int_covs_bundle_batched(pris) -> None:

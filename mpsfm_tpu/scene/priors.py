@@ -155,14 +155,41 @@ class Depth(BaseClass):
     @property
     def data(self):
         """Working (refined) depth map; assignment bumps data_epoch and
-        clears the accumulated log-shift (device z0 caches key on both)."""
+        clears the accumulated log-shift (device z0 caches key on both).
+
+        The working map may live ONLY on device (set_data_from_device —
+        the fused refinement never reads the integration output back per
+        iteration); first host access materializes it with one blocking
+        transfer: exp(z + accumulated log-shift)."""
+        if self._data is None and getattr(self, "_data_dev", None) is not None:
+            self._data = np.exp(
+                np.asarray(self._data_dev, np.float64) + self.data_log_shift
+            )
         return self._data
 
     @data.setter
     def data(self, v):
         self._data = v
+        self._data_dev = None
         self.data_epoch = getattr(self, "data_epoch", 0) + 1
         self.data_log_shift = 0.0
+
+    def set_data_from_device(self, zlog_dev):
+        """Adopt a device log-depth grid as the working map WITHOUT a
+        host transfer (fused-refinement accept path). Same bookkeeping
+        as the data setter; host copies materialize lazily."""
+        self._data = None
+        self._data_dev = zlog_dev
+        self.data_epoch = getattr(self, "data_epoch", 0) + 1
+        self.data_log_shift = 0.0
+
+    def data_log_dev(self):
+        """(device log-depth grid at its upload scale, scalar log-shift
+        since) — or None when the working map is host-only."""
+        dev = getattr(self, "_data_dev", None)
+        if dev is None:
+            return None
+        return dev, float(self.data_log_shift)
 
     def set_grid_scale(self, sx, sy):
         self._grid_scale = (sx, sy)
@@ -201,12 +228,15 @@ class Depth(BaseClass):
             self.version += 1
         if self.uncertainty_update is not None:
             self.uncertainty_update = self.uncertainty_update * scale**2
-        if rescale_working and self.activated and self._data is not None:
+        if rescale_working and self.activated and (
+            self._data is not None or getattr(self, "_data_dev", None) is not None
+        ):
             if shift == 0.0:
                 # multiplicative-only: keep the working-copy epoch and
                 # accumulate the scalar log-shift instead (z0 device
                 # caches stay valid: log(s·d) = log d + log s)
-                self._data = self._data * scale
+                if self._data is not None:
+                    self._data = self._data * scale
                 self.data_log_shift += float(np.log(scale))
             else:
                 self.data = self.data * scale + shift

@@ -182,7 +182,8 @@ def build_ba_data(
             sigma2 = np.asarray(depth.uncertainty_update)[kp_ids]
             sx, sy = depth._grid_scale
             rows.append(
-                (imid, cam_local[imid], kps[:, 0] * sx, kps[:, 1] * sy, sigma2, ptl)
+                (imid, cam_local[imid], kps[:, 0] * sx, kps[:, 1] * sy, sigma2, ptl,
+                 kp_ids.astype(np.int32))
             )
         if rows:
             Sd = _bucket(max(len(r[2]) for r in rows), 32)
@@ -190,19 +191,21 @@ def build_ba_data(
             gx = np.zeros((Cr, Sd), np.float32)
             gy = np.zeros((Cr, Sd), np.float32)
             s2 = np.ones((Cr, Sd), np.float32)
+            kpi = np.zeros((Cr, Sd), np.int32)
             pti = np.full((Cr, Sd), 0, np.int32)
             cam_rows = np.zeros(Cr, np.int32)
             imids_r = []
             Pb_spec = _bucket(max(len(all_pts), 1))
             pti[:] = Pb_spec  # padding sentinel (dropped by the scatter)
-            for r, (imid, c, gxr, gyr, s2r, ptlr) in enumerate(rows):
+            for r, (imid, c, gxr, gyr, s2r, ptlr, kpr) in enumerate(rows):
                 L = len(gxr)
                 gx[r, :L], gy[r, :L], s2[r, :L] = gxr, gyr, s2r
+                kpi[r, :L] = kpr
                 pti[r, :L] = np.where(ptlr < 0, Pb_spec, ptlr)
                 cam_rows[r] = c
                 imids_r.append(imid)
             depth_specs = {
-                "gx": gx, "gy": gy, "sigma2": s2, "ptidx": pti,
+                "gx": gx, "gy": gy, "sigma2": s2, "ptidx": pti, "kp_ids": kpi,
                 "cam_rows": cam_rows, "imids": imids_r,
             }
         else:

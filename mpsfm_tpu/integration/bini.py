@@ -369,6 +369,29 @@ def diag_inverse_at_batch_anchors(anch, rowcol, p: BiniParams, chunk: int, cov, 
     )(packed, rowcol)
 
 
+@partial(jax.jit, static_argnames=("p", "chunk"))
+def diag_inverse_gated_batch_anchors(
+    anch, rowcol, p: BiniParams, chunk: int, cov, changed, *pairs
+):
+    """diag_inverse_at_batch_anchors gated on the device-side changed
+    flags (B,): when NO image's integration changed this iteration the
+    whole CG-chunk solve is skipped (the host gate used to make this
+    decision from a blocking energy read; the fused chain keeps it on
+    device). Returns zeros for the skipped case — finalize applies
+    results only where changed."""
+    packed = _assemble_batch_anchors(anch, cov, pairs)
+
+    def solve(pk):
+        return jax.vmap(
+            lambda q, rc: _diag_inverse_at_impl(_unpack(q), p, q[0], rc[0], rc[1], chunk)
+        )(pk, rowcol)
+
+    def skip(pk):
+        return jnp.zeros((pk.shape[0], rowcol.shape[-1]), pk.dtype)
+
+    return jax.lax.cond((changed > 0.5).any(), solve, skip, packed)
+
+
 
 
 @jax.jit

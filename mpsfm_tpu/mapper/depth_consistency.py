@@ -329,13 +329,27 @@ class DepthConsistencyChecker(BaseClass):
             np.asarray(self._K_grid(imid), np.float32),
         )
 
-    def _dc_dev(self, imid):
+    def _dc_dev(self, imid, z_overrides=None):
         """((d_dev, d_fac), (var_dev, var_fac), K_dev): device-cached
         grids + the scalar factors accumulated since their upload (pure
-        rescales are multiplicative in both depth and variance)."""
+        rescales are multiplicative in both depth and variance).
+        z_overrides {imid: (log-depth dev, shift)} supplies a NOT-yet-
+        finalized integration output (the fused post-registration chain
+        checks consistency before the z ever reaches the host)."""
         d = self.rec.images[imid].depth
         c = self._dev_cache.setdefault(imid, {})
         s = float(d.scale)
+        if z_overrides and imid in z_overrides:
+            from mpsfm_tpu.integration.bini import exp_shift_dev
+
+            zdev2, zsh = z_overrides[imid]
+            vent = self._dc_var_ent(imid, c, d, s)
+            K = self._dc_K(imid, c)
+            return (
+                (exp_shift_dev(zdev2, jnp.float32(zsh)), 1.0),
+                (vent[2], (s / vent[1]) ** 2),
+                K,
+            )
         if d.activated and (
             d._data is not None or d.data_log_dev() is not None
         ):
@@ -365,6 +379,12 @@ class DepthConsistencyChecker(BaseClass):
                 ent = (dkey, s, jnp.asarray(np.asarray(d.data_prior, np.float32)))
                 c["d"] = ent
             d_fac = s / ent[1]
+        vent = self._dc_var_ent(imid, c, d, s)
+        v_fac = (s / vent[1]) ** 2
+        K = self._dc_K(imid, c)
+        return (ent[2], d_fac), (vent[2], v_fac), K
+
+    def _dc_var_ent(self, imid, c, d, s):
         vkey = ("v", d.version)
         vent = c.get("v")
         if vent is None or vent[0] != vkey:
@@ -373,14 +393,17 @@ class DepthConsistencyChecker(BaseClass):
             )
             vent = (vkey, s, jnp.asarray(var))
             c["v"] = vent
-        v_fac = (s / vent[1]) ** 2
+        return vent
+
+    def _dc_K(self, imid, c):
         K = c.get("K")
         if K is None:
             K = jnp.asarray(np.asarray(self._K_grid(imid), np.float32))
             c["K"] = K
-        return (ent[2], d_fac), (vent[2], v_fac), K
+        return K
 
-    def check_bundle_depth_consistency(self, imid, bundle, score_thresh=None):
+    def check_bundle_depth_consistency(self, imid, bundle, score_thresh=None,
+                                       z_overrides=None):
         """Bundle score = max over {query, refs} of invalid/valid pixel ratio
         (reference :213-246). All (query, ref) pairs with a common grid shape
         run in ONE batched device program (reproject + sort-based z-buffer +
@@ -390,14 +413,14 @@ class DepthConsistencyChecker(BaseClass):
         if score_thresh is None:
             score_thresh = self.conf.depth_cons_valid_thresh
         rec = self.rec
-        (d_q, dq_fac), (var_q, vq_fac), K_q = self._dc_dev(imid)
+        (d_q, dq_fac), (var_q, vq_fac), K_q = self._dc_dev(imid, z_overrides)
         pose_q = rec.images[imid].pose
         Rq = pose_q.rotation_matrix()
         Mq44 = np.vstack([pose_q.inverse().matrix(), [0, 0, 0, 1]])
 
         groups: dict[tuple, list] = {}
         for ref in optim_ids:
-            (d_r, dr_fac), (var_r, vr_fac), K_r = self._dc_dev(ref)
+            (d_r, dr_fac), (var_r, vr_fac), K_r = self._dc_dev(ref, z_overrides)
             pose_r = rec.images[ref].pose
             M_qr = pose_r.matrix() @ Mq44
             M_rq = pose_q.matrix() @ np.vstack([pose_r.inverse().matrix(), [0, 0, 0, 1]])
@@ -431,8 +454,8 @@ class DepthConsistencyChecker(BaseClass):
         score = max(ref_nv / max(ref_v, 0.1), qry_nv / max(qry_v, 0.1))
         return score
 
-    def check_image(self, imid, bundle):
-        score = self.check_bundle_depth_consistency(imid, bundle)
+    def check_image(self, imid, bundle, z_overrides=None):
+        score = self.check_bundle_depth_consistency(imid, bundle, z_overrides=z_overrides)
         self.rec.images[imid].last_dc_score = score
         if score > self.depth_cons_thresh:
             self.log(f"Depth consistency failed for {imid}: {score:.3f}")

@@ -207,7 +207,7 @@ class Optimizer(BaseClass):
 
     def ba_fused(self, bundle, mode, z_getter, pending=None, param_multiplier=1.0,
                  allow_scale_filter=False, fix_pose=False, depth_type="update",
-                 update_trunc=False):
+                 update_trunc=False, unc_overrides=None, pending_covs=None):
         """Integrate->BA chained solve: the depth-observation grids are
         derived ON DEVICE from the device-resident log-depth maps
         (ba/device_depth.py), so the whole refinement iteration — BiNI
@@ -240,8 +240,9 @@ class Optimizer(BaseClass):
         if n_shards or prob is None or prob.dense is None:
             # fallback: finalize the deferred integration (one read), then
             # the classic path (host depth rows / distributed solver)
-            if pending is not None:
-                finalize_integration(pending)
+            from mpsfm_tpu.scene.image_priors import finalize_deferred_all
+
+            finalize_deferred_all(pending, pending_covs)
             if update_trunc:
                 with TIMERS.phase("truncation_multiplier"):
                     self.update_truncation_multiplier(self.rec.reg_image_ids())
@@ -262,10 +263,20 @@ class Optimizer(BaseClass):
             gx_dev = jnp.asarray(specs["gx"])
             gy_dev = jnp.asarray(specs["gy"])
             rows = []
+            sig_rows = []
+            kpi_dev = (
+                jnp.asarray(specs["kp_ids"]) if unc_overrides else None
+            )
             for r, imid in enumerate(specs["imids"]):
                 z2d, shift = z_getter(imid)
                 rows.append(sample_logd(z2d, jnp.float32(shift), gx_dev[r], gy_dev[r]))
+                if unc_overrides and imid in unc_overrides:
+                    # freshly chained int_covs variances (device rows)
+                    sig_rows.append(unc_overrides[imid][kpi_dev[r]])
+                else:
+                    sig_rows.append(jnp.asarray(specs["sigma2"][r]))
             logd = jnp.stack(rows)
+            sigma2_dev = jnp.stack(sig_rows)
             m_base = param_multiplier * self.conf.rob_std * (
                 1.0 if update_trunc else self.truncation_multiplier
             )
@@ -276,7 +287,7 @@ class Optimizer(BaseClass):
             )
             d_logt, d_w, d_scale, trunc_dev = build_depth_grids(
                 logd,
-                jnp.asarray(specs["sigma2"]),
+                sigma2_dev,
                 jnp.asarray(specs["ptidx"]),
                 jnp.asarray(specs["cam_rows"]),
                 dense.quat, dense.t, dense.xyz,
@@ -304,9 +315,25 @@ class Optimizer(BaseClass):
             n_fixed = len(arrays)
             if pending:
                 arrays += [info_dev for _, _z, info_dev in pending]
+            uniq_v = {}
+            if pending_covs:
+                for entry in pending_covs:
+                    uniq_v[id(entry[1])] = entry[1]
+                arrays += list(uniq_v.values())
             fetched = fetch_many(arrays)
+        changed_map = {}
         if pending:
-            finalize_integration(pending, fetched[n_fixed:])
+            changed_map = finalize_integration(
+                pending, fetched[n_fixed: n_fixed + len(pending)]
+            )
+        if pending_covs:
+            from mpsfm_tpu.scene.image_priors import finalize_int_covs
+
+            voff = n_fixed + (len(pending) if pending else 0)
+            vmap_f = dict(zip(uniq_v.keys(), fetched[voff:]))
+            finalize_int_covs(
+                pending_covs, [vmap_f[id(e[1])] for e in pending_covs], changed_map
+            )
         cost0 = float(fetched[3])
         cost = float(fetched[4])
         accepted = int(fetched[5])
@@ -324,6 +351,17 @@ class Optimizer(BaseClass):
     def refine_3d_points(self, bundle, depth_type="update", **kw):
         """Poses fixed, points refined with depth regularization
         (reference :276-283)."""
+        import os
+
+        if depth_type == "update" and os.environ.get("MPSFM_FUSED_REFINE", "1") == "1":
+            # device-depth path: samples the depth targets from the
+            # device-resident log-depth grids (no host depth build)
+            def z_getter(imid):
+                return self.rec.images[imid].priors._z0_shift_dev()
+
+            return self.ba_fused(
+                bundle, "global", z_getter, fix_pose=True, depth_type=depth_type
+            )
         return self._solve(
             bundle, "global", fix_pose=True, depth_loss_name=self.conf.ref3d_loss_name,
             depth_type=depth_type,

@@ -454,7 +454,7 @@ class ImagePriors(BaseClass):
         data = d.data if (d.activated and d.data is not None) else d.data_prior
         return varlog * np.asarray(data) ** 2
 
-    def _int_cov_query(self, pts2d=None):
+    def _int_cov_query(self, pts2d=None, z_override=None):
         """(packed, rows, cols, K, kps_sel, pts2d, params) for the diag(H⁻¹)
         queries at (a subset of) this image's keypoints on the downscaled
         integration grid."""
@@ -467,7 +467,18 @@ class ImagePriors(BaseClass):
         ds = self.conf.downscale_factor if self.conf.downscaled else 1
         pl = self._anchor_payload(downscale=ds)
         stat8, prior_shift = self.static_prior_dev(downscale=ds)
-        z0, z0_shift = self._z0_shift_dev(downscale=ds)
+        if z_override is not None:
+            # fused chain: the downscaled z0 derives from the FRESH
+            # gate/solve output lane (device), not the pre-solve cache
+            zfull, zshift = z_override
+            if ds > 1:
+                from mpsfm_tpu.integration.bini import resize_log_dev
+
+                z0, z0_shift = resize_log_dev(zfull, jnp.float32(zshift), self._hw(ds)), 0.0
+            else:
+                z0, z0_shift = zfull, zshift
+        else:
+            z0, z0_shift = self._z0_shift_dev(downscale=ds)
         params = self.integrator.params._replace(cg_max_iter=int(self.conf.cov_cg_iters))
         h, w = stat8.shape[-2:]
         gx = np.clip(np.round(kps_sel[:, 0] * cam.sx / ds).astype(np.int32), 0, w - 1)
@@ -514,6 +525,31 @@ class ImagePriors(BaseClass):
             )
         )[0, :K]
         return self._apply_int_covs(varlog, kps_sel, pts2d)
+
+
+def materialize_depths(rec, imids) -> None:
+    """Materialize host copies of device-resident working depth maps for
+    a set of images in ONE blocking read (the lazy Depth.data getter
+    pays a ~40 ms tunnel read PER image; registration's 2D-3D lifting
+    touches every reference image right after a refinement bumped their
+    epochs). Matches the getter's math exactly: exp(z_f32 + shift) in
+    f64."""
+    from mpsfm_tpu.utils.transport import fetch_many
+
+    todo = []
+    for imid in imids:
+        im = rec.images.get(imid)
+        d = getattr(im, "depth", None) if im is not None else None
+        if d is None:
+            continue
+        handle = d.data_log_dev() if d._data is None else None
+        if handle is not None:
+            todo.append((d, handle[0], handle[1]))
+    if not todo:
+        return
+    vals = fetch_many([t[1] for t in todo])
+    for (d, _z, shift), v in zip(todo, vals):
+        d._data = np.exp(np.asarray(v, np.float64) + shift)
 
 
 def _cov_dev_or_dummy(rec):
@@ -583,7 +619,19 @@ def integrate_bundle_deferred(pris):
     pending: list = []
     groups: dict = {}
     cov_dev = None
-    with TIMERS.phase("bini.build_inputs"):
+    if not pris:
+        return handles, pending
+    with TIMERS.phase("bini.build_inputs"), pris[0].rec.tri_angle_cache():
+        rec0 = pris[0].rec
+        if len(pris) > 1:
+            # warm the angle cache with ONE bulk pass over the map: each
+            # image's anchor filter then hits instead of issuing its own
+            # observation sweep (the sweep is the fixed per-call cost)
+            thr = pris[0].conf.robust_triangles
+            if thr is not None:
+                rec0.find_points3D_with_small_triangulation_angle(
+                    thr, rec0.point_ids()
+                )
         for pri in pris:
             if cov_dev is None:
                 cov_dev = _cov_dev_or_dummy(pri.rec)
@@ -707,3 +755,124 @@ def int_covs_bundle_batched(pris) -> None:
         )
         for b, (pri, (_, _, _, K, kps_sel, pts2d, _)) in enumerate(entries):
             pri._apply_int_covs(varlog[b, :K], kps_sel, pts2d)
+
+
+@jax.jit
+def _changed_flag_dev(info4, lane):
+    """Device scalar: did this image's integration change (refine and
+    not aborted) — from the gate/solve info rows."""
+    info = jax.lax.dynamic_index_in_dim(info4, lane, 0, keepdims=False)
+    return ((info[2] > 0.5) & (info[3] < 0.5)).astype(jnp.float32)
+
+
+@jax.jit
+def _updated_unc_dev(varlog_batch, lane, old_unc, dprior, info4, info_lane, floor):
+    """Device mirror of _apply_int_covs for the fused chain: the updated
+    per-keypoint depth variances (padded to the varlog bucket) where the
+    integration CHANGED this image (info4 [e0,e,refine,aborted] lane),
+    the previous values otherwise."""
+    varlog = jax.lax.dynamic_index_in_dim(varlog_batch, lane, 0, keepdims=False)
+    info = jax.lax.dynamic_index_in_dim(info4, info_lane, 0, keepdims=False)
+    changed = (info[2] > 0.5) & (info[3] < 0.5)
+    new = jnp.maximum(varlog * dprior * dprior, (floor * dprior) ** 2)
+    new = jnp.maximum(new, 1e-12)
+    return jnp.where(changed, new, old_unc)
+
+
+def int_covs_bundle_deferred(pris, handles, info_map):
+    """Dispatch the whole-bundle diag(H⁻¹) propagation chained off the
+    FRESH gate/solve output (no blocking read): the downscaled z0 for
+    each image's Hessian resizes from its integrate_bundle_deferred
+    handle on device, and the updated per-keypoint variances are
+    produced as device rows gated per-lane by the changed flag — the BA
+    depth-row builder consumes them directly (ba/device_depth.py), and
+    the host bookkeeping (_apply_int_covs) runs later from the same
+    packed read that returns the BA result.
+
+    Returns (unc_by_imid {imid: (padded Kp,) device updated
+    uncertainty_update indexed by keypoint id}, pending_covs
+    [(pri, varlog_dev, lane, K, kps_sel, pts2d, info_dev, info_lane)]).
+    """
+    from mpsfm_tpu.integration.bini import (
+        diag_inverse_gated_batch_anchors,
+        take_z,
+    )
+
+    groups: dict = {}
+    cov_dev = None
+    with pris[0].rec.tri_angle_cache():
+        for pri in pris:
+            if cov_dev is None:
+                cov_dev = _cov_dev_or_dummy(pri.rec)
+            z_b, lane = handles[pri.imid]
+            q = pri._int_cov_query(z_override=(take_z(z_b, jnp.int32(lane)), 0.0))
+            key = (tuple(q[0][4][1].shape[-2:]), q[6])
+            groups.setdefault(key, []).append((pri, q))
+
+    unc_by_imid: dict = {}
+    pending_covs: list = []
+    for (shape, params), entries in groups.items():
+        Kmax = max(q[3] for _, q in entries)
+        Kp = _pow2(Kmax, 128)
+        n = len(entries)
+        B = _pow2(n)
+        rowcol = np.zeros((B, 2, Kp), np.int32)
+        for b, (_, (_split, gy, gx, K, _, _, _)) in enumerate(entries):
+            rowcol[b, 0, :K], rowcol[b, 1, :K] = gy, gx
+        Ka = _pow2(max(max((len(q[0][0]) for _, q in entries), default=1), 1), 64)
+        anch = _pack_anchors([q[0][:4] for _, q in entries], shape, B, Ka)
+        pairs = [q[0][4] for _, q in entries] + [entries[0][1][0][4]] * (B - n)
+        flags = jnp.stack(
+            [
+                _changed_flag_dev(info_map[pri.imid][0], jnp.int32(info_map[pri.imid][1]))
+                for pri, _ in entries
+            ]
+            + [jnp.zeros((), jnp.float32)] * (B - n)
+        )
+        varlog_dev = diag_inverse_gated_batch_anchors(
+            jnp.asarray(anch), jnp.asarray(rowcol), params, 128, cov_dev, flags, *pairs
+        )
+        for b, (pri, (_, _, _, K, kps_sel, pts2d, _)) in enumerate(entries):
+            info_dev, info_lane = info_map[pri.imid]
+            old = np.ones(Kp, np.float32)
+            old[:K] = np.asarray(pri.depth.uncertainty_update)[pts2d]
+            dprior = np.ones(Kp, np.float32)
+            dprior[:K] = pri.depth.data_prior_at_kps(kps_sel)
+            floor = float(pri.conf.int_cov_rel_floor or 0.0)
+            unc_by_imid[pri.imid] = _updated_unc_dev(
+                varlog_dev, jnp.int32(b), jnp.asarray(old), jnp.asarray(dprior),
+                info_dev, jnp.int32(info_lane), jnp.float32(floor),
+            )
+            pending_covs.append(
+                (pri, varlog_dev, b, K, kps_sel, pts2d, info_dev, info_lane)
+            )
+    return unc_by_imid, pending_covs
+
+
+def finalize_deferred_all(pending, pending_covs):
+    """Finalize a deferred integrate (+ chained int_covs) outside the
+    fused BA read — the bail-out path (DC failure, dense-solver
+    fallback). Returns the changed map."""
+    from mpsfm_tpu.utils.transport import fetch_many
+
+    changed_map = finalize_integration(pending) if pending else {}
+    if pending_covs:
+        uniq = {}
+        for entry in pending_covs:
+            uniq[id(entry[1])] = entry[1]
+        fetched = dict(zip(uniq.keys(), fetch_many(list(uniq.values()))))
+        finalize_int_covs(
+            pending_covs, [fetched[id(e[1])] for e in pending_covs], changed_map
+        )
+    return changed_map
+
+
+def finalize_int_covs(pending_covs, fetched_varlogs, changed_map):
+    """Host bookkeeping for the deferred int_covs chain: apply the
+    fetched diag(H⁻¹) rows to uncertainty_update for images whose
+    integration changed (mirrors the batched path's need_covs gate)."""
+    for (pri, _vd, b, K, kps_sel, pts2d, _i, _l), varlog in zip(
+        pending_covs, fetched_varlogs
+    ):
+        if changed_map.get(pri.imid):
+            pri._apply_int_covs(np.asarray(varlog[b, :K], np.float64), kps_sel, pts2d)

@@ -387,9 +387,9 @@ class Normals(BaseClass):
     @staticmethod
     def _isotropic_cov(n, var):
         """Isotropic spherical variance pushed to Cartesian
-        (reference normals.py:220-230)."""
+        (reference normals.py:220-230). With C = var·I the pushforward
+        J C Jᵀ reduces to var·(J Jᵀ) — one einsum instead of two
+        (H,W,3,2)@(H,W,2,2) matmul sweeps."""
         sph = _cart_to_spherical(n)
-        C = np.zeros((*var.shape, 2, 2))
-        C[..., 0, 0] = C[..., 1, 1] = var
         J = _spherical_jacobian(sph)
-        return J @ C @ np.swapaxes(J, -1, -2)
+        return var[..., None, None] * np.einsum("...ij,...kj->...ik", J, J)

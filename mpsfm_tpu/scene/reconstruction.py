@@ -677,10 +677,38 @@ class Reconstruction:
             i = j
         return out
 
+    def tri_angle_cache(self):
+        """Context manager: memoize per-point triangulation angles while
+        geometry is frozen (e.g. across the per-image anchor builds of
+        one bundle dispatch — the angles were recomputed per image,
+        ~1.3s/scene of host time on the 12-image bench)."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _ctx():
+            self._tri_cache = {}
+            try:
+                yield
+            finally:
+                self._tri_cache = None
+
+        return _ctx()
+
     def find_points3D_with_small_triangulation_angle(self, min_angle, point3D_ids):
         if len(point3D_ids) == 0:
             return np.zeros(0, bool)
-        return self.triangulation_angles(point3D_ids) < min_angle
+        cache = getattr(self, "_tri_cache", None)
+        if cache is None:
+            return self.triangulation_angles(point3D_ids) < min_angle
+        pids = np.asarray(point3D_ids, np.int64)
+        angles = np.array([cache.get(int(p), np.nan) for p in pids])
+        miss = np.isnan(angles)
+        if miss.any():
+            fresh = self.triangulation_angles(pids[miss])
+            angles[miss] = fresh
+            for p, a in zip(pids[miss], fresh):
+                cache[int(p)] = float(a)
+        return angles < min_angle
 
     # --- filters (reference: mapper/base.py:686-797 via ObservationManager) ---
     def filter_observations_with_negative_depth(self):

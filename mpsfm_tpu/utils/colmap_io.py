@@ -205,7 +205,9 @@ def write_depths(rec: Reconstruction, path):
             if d is None:
                 continue
             grp = f.create_group(im.name)
-            kw = dict(compression="gzip", compression_opts=4)
+            # level 1: ~2x faster writes for ~5% larger files (the write
+            # is on the mapping critical path; format unchanged)
+            kw = dict(compression="gzip", compression_opts=1)
             if d.activated and d.data is not None:
                 grp.create_dataset("depth", data=np.asarray(d.data, np.float32), **kw)
             grp.create_dataset("prior_depth", data=np.asarray(d.data_prior, np.float32), **kw)

@@ -39,6 +39,9 @@ from mpsfm_tpu.ba.solver import _apply_cam_update, _rotmat_cols, inv3x3
 import os
 
 
+_BF16_COUPLING = os.environ.get("MPSFM_BA_BF16", "0") == "1"
+
+
 def _use_pallas_chol(K: int) -> bool:
     """Optional: route the reduced-system solve through the fused Pallas
     Cholesky (MPSFM_PALLAS_CHOL=1). Standalone it beats XLA's blocked
@@ -225,11 +228,18 @@ def solve_ba_dense(
         )  # (P,3,3)
         Hpp_inv = inv3x3(Hpp_aug)
 
-        # TB (K,3,P): contract T with Hpp_inv per point (9 dense madds)
-        Bt = Hpp_inv.transpose(1, 2, 0)  # (3,3,P)
+        # TB (K,3,P): contract T with Hpp_inv per point (9 dense madds).
+        # The coupling tensors are the byte giants of the iteration
+        # (K·3·P f32 = 38 MB at 64 cams/8k pts, each read 3x per λ-step;
+        # roofline: HBM-bound at 7 FLOP/B) — optionally carried in bf16
+        # with f32 MXU accumulation (MPSFM_BA_BF16, halves the traffic;
+        # the LM direction degrades ~1e-3 relatively, acceptance stays
+        # cost-gated in f32).
+        Tc = Tflat.astype(jnp.bfloat16) if _BF16_COUPLING else Tflat
+        Bt = Hpp_inv.transpose(1, 2, 0).astype(Tc.dtype)  # (3,3,P)
         TB = jnp.stack(
             [
-                Tflat[:, 0] * Bt[0, m][None] + Tflat[:, 1] * Bt[1, m][None] + Tflat[:, 2] * Bt[2, m][None]
+                Tc[:, 0] * Bt[0, m][None] + Tc[:, 1] * Bt[1, m][None] + Tc[:, 2] * Bt[2, m][None]
                 for m in range(3)
             ],
             1,
@@ -244,7 +254,7 @@ def solve_ba_dense(
         rhs = -(g_c.reshape(K) - red)
 
         # S = Hcc_aug (block diag) − TB · Tᵀ  (one MXU contraction)
-        S_red = jax.lax.dot_general(TB, Tflat, (((1, 2), (1, 2)), ((), ())), preferred_element_type=dtype)
+        S_red = jax.lax.dot_general(TB, Tc, (((1, 2), (1, 2)), ((), ())), preferred_element_type=dtype)
         Hcc_full = jnp.zeros((C, 6, C, 6), dtype).at[ii, :, ii, :].set(Hcc_aug).reshape(K, K)
         S = Hcc_full - S_red
         if _use_pallas_chol(K):
@@ -258,7 +268,10 @@ def solve_ba_dense(
         dflat = delta_c.reshape(K)
 
         # back-substitution: Δp = −Hpp⁻¹ (g_p + Tᵀ Δc)
-        wtd = jax.lax.dot_general(dflat, Tflat, (((0,), (0,)), ((), ())), preferred_element_type=dtype)  # (3,P)
+        wtd = jax.lax.dot_general(
+            dflat.astype(Tc.dtype), Tc, (((0,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+        )  # (3,P)
         delta_p = -jnp.einsum("pij,pj->pi", Hpp_inv, g_p + wtd.T) * data.point_var[:, None]
 
         quat_new, t_new = _apply_cam_update(quat, t, delta_c)
